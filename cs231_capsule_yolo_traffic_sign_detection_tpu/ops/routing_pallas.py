@@ -1,0 +1,166 @@
+"""Fused Pallas TPU kernel for capsule dynamic routing.
+
+The XLA path (ops.capsule.dynamic_routing) materializes the priors
+tensor (B, N, K, D) in HBM and re-reads it from HBM in every routing
+iteration (probs*priors contraction + agreement update) — ~5 full
+passes of HBM traffic for 3 iterations.  This kernel loads each batch
+element's priors into VMEM ONCE and runs all iterations on-chip:
+softmax over capsules, weighted node-sum, squash, and the agreement
+logit update never touch HBM.
+
+Layout: priors are produced directly in a lane-friendly transposed
+layout (B, K*D, N) — capsule-major rows, nodes on the 128-wide lane
+axis — by fusing the transpose into the votes einsum.  K is padded so
+K*D is a multiple of 8 sublanes and N to a multiple of 128 lanes.
+Per-capsule reductions over the D sub-rows use a small constant
+group-sum matmul (MXU) instead of sublane reshapes.
+
+Reference numerics: models.py:64-79 (squash + 3-iteration routing,
+softmax over the output-capsule dim).  Parity is tested against the
+XLA path in tests/test_pallas_routing.py.
+
+The op is differentiable via custom_vjp: backward recomputes the
+routing with the XLA path and uses its VJP (forward-speed win for
+inference and the forward half of training; a hand-written backward
+kernel is future work).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .capsule import compute_priors, dynamic_routing
+
+_NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
+    """One batch element: priors_ref (K_pad*D, N_pad) -> out (K_pad*D,).
+
+    Rows are capsule-major: row k*D+d holds vote component d of capsule
+    k across all N nodes (lanes).  Lanes >= N and rows >= K*D are zero
+    padding.
+    """
+    KD = K_pad * D
+    N_pad = priors_ref.shape[2]
+    priors = priors_ref[0]                                 # (KD, N_pad)
+
+    # lane mask for node padding
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
+    node_mask = (lane_ids < N).astype(priors.dtype)        # (K_pad, N_pad)
+
+    # constant group-sum matrix: G[k, j] = 1 iff j // D == k
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 1)
+    gsum = (col_ids // D == row_ids).astype(priors.dtype)  # (K_pad, KD)
+
+    # capsule-padding mask for the softmax (padded capsules -> -inf)
+    cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
+    cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(priors.dtype)
+
+    def squash_caps(s):
+        """s: (KD, 1) summed votes -> squashed v (KD, 1)."""
+        sq = jnp.dot(gsum, s * s, preferred_element_type=s.dtype)  # (K_pad,1)
+        scale = sq / (1.0 + sq) * jax.lax.rsqrt(sq + 1e-12)
+        scale_rep = pltpu.repeat(scale, D, axis=0)                  # (KD,1)
+        return s * scale_rep
+
+    def routed_outputs(logits):
+        # softmax over capsules (sublane dim) per node (lane)
+        shifted = logits + cap_neg
+        m = jnp.max(shifted, axis=0, keepdims=True)
+        e = jnp.exp(shifted - m)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)      # (K_pad, N_pad)
+        probs = probs * node_mask
+        probs_rep = pltpu.repeat(probs, D, axis=0)         # (KD, N_pad)
+        s = jnp.sum(probs_rep * priors, axis=1, keepdims=True)  # (KD, 1)
+        return squash_caps(s)
+
+    def body(_, logits):
+        v = routed_outputs(logits)                         # (KD, 1)
+        # agreement: delta[k, n] = sum_d priors[kD+d, n] * v[kD+d]
+        delta = jnp.dot(gsum, priors * v,
+                        preferred_element_type=priors.dtype)  # (K_pad, N_pad)
+        return logits + delta
+
+    logits0 = jnp.zeros((K_pad, N_pad), priors.dtype)
+    logits = jax.lax.fori_loop(0, n_iter - 1, body, logits0)
+    v = routed_outputs(logits)                             # (KD, 1)
+    out_ref[0] = v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def routed_capsules_pallas(x, route_weights, n_iter=3):
+    """x (B, N, in_C), route_weights (N, K, in_C, D) -> caps (B, K, D).
+
+    Equivalent to compute_priors + dynamic_routing (squeezed), with the
+    routing loop fused in VMEM.
+    """
+    return _routed_forward(x, route_weights, n_iter)
+
+
+def _priors_transposed(x, route_weights):
+    """Votes in kernel layout (B, K, D, N) (transpose fused into einsum)."""
+    return jnp.einsum(
+        "bni,nkio->bkon", x, route_weights,
+        preferred_element_type=jnp.promote_types(x.dtype, route_weights.dtype),
+    )
+
+
+def _routed_forward(x, route_weights, n_iter, interpret=False):
+    B, N, _ = x.shape
+    _, K, _, D = route_weights.shape
+    # K padded so the group matmul rows stay tiny yet sublane-aligned
+    K_pad = max(_round_up(K, 8), 8)
+    N_pad = _round_up(N, 128)
+    KD = K_pad * D
+
+    priors = _priors_transposed(x, route_weights)          # (B, K, D, N)
+    priors = jnp.pad(
+        priors, ((0, 0), (0, K_pad - K), (0, 0), (0, N_pad - N)))
+    priors = priors.reshape(B, KD, N_pad)
+
+    kernel = functools.partial(
+        _routing_kernel, n_iter=n_iter, K=K, D=D, K_pad=K_pad, N=N)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, KD, N_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KD, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, KD, 1), priors.dtype),
+        interpret=interpret,
+    )(priors)
+
+    caps = out[:, :, 0].reshape(B, K_pad, D)[:, :K, :]
+    return caps
+
+
+def _fwd(x, route_weights, n_iter):
+    return _routed_forward(x, route_weights, n_iter), (x, route_weights)
+
+
+def _bwd(n_iter, residuals, g):
+    x, route_weights = residuals
+
+    def xla_path(xx, ww):
+        priors = compute_priors(xx, ww)
+        return dynamic_routing(priors, n_iter=n_iter)[:, 0]
+
+    _, vjp = jax.vjp(xla_path, x, route_weights)
+    return vjp(g)
+
+
+routed_capsules_pallas.defvjp(_fwd, _bwd)

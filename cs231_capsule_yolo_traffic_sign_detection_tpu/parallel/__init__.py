@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_state,
+    shard_batch,
+    routing_param_spec,
+)

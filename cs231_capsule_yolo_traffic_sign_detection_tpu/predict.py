@@ -1,0 +1,140 @@
+"""Batch inference pipelines (predict mode).
+
+Reference parity: predict_fns.py — checkpoint-restoring batch
+inference, grid decode, drawing, and the two-stage darknet ->
+cnn/capsule composition.
+
+TPU-native: the forward pass AND the grid decode (confidence top-k)
+run in one jitted program on device (`ops.decode.decode_grid`); only
+the final ragged box lists and cv2 drawing are host-side.  The
+reference runs decode in numpy per batch (predict_fns.py:46).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import viz
+from .losses import LossConfig
+from .metrics import METRIC_REGISTRY  # noqa: F401  (re-export convenience)
+from .models import build_model
+from .ops import decode as decode_ops
+from .train import checkpoint as ckpt
+from .train.driver import Trainer, model_input_shape
+from .train.steps import make_predict_step
+
+
+def restore_variables(params, model_dir, restore_file):
+    """Build the model and restore its variables from last/best.ckpt."""
+    trainer = Trainer(params, verbose=False)
+    restore_path = ckpt.checkpoint_path(model_dir, restore_file)
+    print("Restoring parameters from {}".format(restore_path))
+    trainer.restore(restore_path, model_dir, params.get("train_frac", 1))
+    return trainer.model, trainer.state.variables
+
+
+def _batched_forward(step, variables, x, batch_size):
+    outs = []
+    for i in range(0, x.shape[0], batch_size):
+        outs.append(np.asarray(step(variables, x[i : i + batch_size])))
+    return np.concatenate(outs, axis=0)
+
+
+def dark_pred(images, model_dir, params, restore_file, is_end=True,
+              conf_th=0.5, y=None, use_nms=False):
+    """Darknet detection inference.
+
+    Reference parity: predict_fns.py:10-58.  Returns
+      is_end:  (y_hat grid, annotated images)
+      else:    (y_hat grid, crops, image_indices, boxes_xy)
+    """
+    import cv2
+
+    model, variables = restore_variables(params, model_dir, restore_file)
+    step = make_predict_step(model)
+
+    image_hw = np.array([image.shape[0:2] for image in images])
+    size = model_input_shape(params)[0]
+    x = np.stack([cv2.resize(im, (size, size)) for im in images]).astype(
+        np.float32)
+
+    y_hat = _batched_forward(step, variables, x, params.batch_size)
+
+    decoded = decode_ops.decode_grid(
+        jnp.asarray(y_hat),
+        n_classes=params.n_classes,
+        n_boxes=params.n_boxes,
+        img_size=size,
+        conf_th=conf_th,
+    )
+    if use_nms:
+        decoded = dict(decoded)
+        decoded["valid"] = decode_ops.nms_mask(
+            decoded["xy"], decoded["conf"], decoded["valid"])
+    image_indices, boxes_xy, classes = decode_ops.to_flat_host(
+        decoded, image_hw=image_hw, img_size=size,
+        with_classes=params.n_classes != 0)
+
+    output_images, crops_bch = viz.draw_boxes_vec(
+        images, image_indices, boxes_xy, classes)
+
+    if y is not None:
+        from .ops.boxes import y_to_boxes_vec
+
+        t_idx, t_xy, t_cls = y_to_boxes_vec(
+            y, params, image_hw=image_hw, conf_th=conf_th)
+        output_images, _ = viz.draw_boxes_vec(
+            output_images, t_idx, t_xy, t_cls, color=(0, 0, 255))
+
+    if is_end:
+        return y_hat, output_images
+
+    capsule_input = (params.capsule_input, params.capsule_input)
+    output_crops = np.array([
+        cv2.resize(crop, capsule_input)
+        for crops in crops_bch for crop in crops
+    ])
+    return y_hat, output_crops, image_indices, boxes_xy
+
+
+def class_pred(x, model_dir, params, restore_file):
+    """Classifier inference: scores + argmax classes.
+
+    Reference parity: predict_fns.py:60-73.
+    """
+    model, variables = restore_variables(params, model_dir, restore_file)
+    step = make_predict_step(model)
+    y_hat = _batched_forward(
+        step, variables, np.asarray(x, np.float32), params.batch_size)
+    return y_hat, np.argmax(y_hat, axis=1)
+
+
+def dark_class_pred(images, dark_model_dir, dark_params, class_model_dir,
+                    class_params, restore_file):
+    """Two-stage detect-then-classify pipeline.
+
+    Reference parity: predict_fns.py:75-82.
+    """
+    from .data.loader import center_rgb
+    from .ops.boxes import combine_y_hat
+
+    dark_y_hat, dark_crops, image_indices, boxes_xy = dark_pred(
+        images, dark_model_dir, dark_params, restore_file, is_end=False)
+    dark_crops = center_rgb(dark_crops)
+    class_y_hat, classes = class_pred(
+        dark_crops, class_model_dir, class_params, restore_file)
+    output_images, _ = viz.draw_boxes_vec(
+        images, image_indices, boxes_xy, classes)
+    y_hat = combine_y_hat(
+        images, dark_y_hat, class_y_hat, image_indices, boxes_xy, dark_params)
+    return y_hat, output_images
+
+
+PREDICT_REGISTRY = {
+    "cnn": class_pred,
+    "capsule": class_pred,
+    "darknet_d": dark_pred,
+    "darknet_r": dark_pred,
+    "darkcapsule": None,  # reference main.py:263-265: no predict fn
+}

@@ -1,0 +1,72 @@
+"""Checkpointing with the reference's last/best semantics.
+
+Reference parity: utils.py:40-60 + main.py:181-188 — `last` written
+every epoch into `model_dir + str(train_frac)` (no path separator, a
+reference quirk we reproduce), copied to `best` when the eval metric
+improves.  Files are flax-serialized msgpack (`.ckpt`) instead of
+torch pickles; `--restore last|best` maps onto them unchanged.
+
+Deviations (COMPAT.md): writes are atomic (tmp + rename; the reference
+can tear checkpoints on interrupt), and restore falls back to the
+train_frac-suffixed directory when the bare model_dir has no
+checkpoint (the reference restore path simply errors there,
+main.py:148-151).
+"""
+
+import os
+import shutil
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(state_dict, is_best, checkpoint_dir):
+    """Serialize a {epoch, state, ...} dict to last.ckpt (+ best.ckpt).
+
+    Reference parity: utils.py:40-49.
+    """
+    if not os.path.exists(checkpoint_dir):
+        print("Checkpoint Directory does not exist! "
+              "Making directory {}".format(checkpoint_dir))
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    filepath = os.path.join(checkpoint_dir, "last.ckpt")
+    payload = serialization.msgpack_serialize(_to_host(state_dict))
+    tmp = filepath + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, filepath)
+    if is_best:
+        shutil.copyfile(filepath, os.path.join(checkpoint_dir, "best.ckpt"))
+
+
+def load_checkpoint(path, target=None, fallback_dirs=()):
+    """Restore a checkpoint dict; `target` gives the pytree structure.
+
+    Reference parity: utils.py:52-60.
+    """
+    if not os.path.exists(path):
+        base = os.path.basename(path)
+        for d in fallback_dirs:
+            alt = os.path.join(d, base)
+            if os.path.exists(alt):
+                path = alt
+                break
+        else:
+            raise FileNotFoundError("File doesn't exist {}".format(path))
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if target is not None:
+        raw = serialization.from_state_dict(target, raw)
+    return raw
+
+
+def checkpoint_path(model_dir, restore_file):
+    """Map --restore last|best to the checkpoint file path."""
+    return os.path.join(model_dir, restore_file + ".ckpt")

@@ -1,0 +1,265 @@
+"""Training/evaluation orchestration — the reference main.py driver,
+rebuilt around jitted functional steps.
+
+Reference parity: main.py:42-217 — per-epoch: host shuffle +
+np.array_split batching, train epoch, eval epoch, plateau LR step on
+the TRAIN loss, TB scalars (train_loss/eval_loss/train_metric/
+eval_metric), last/best checkpoints into model_dir+str(train_frac),
+.npy loss/metric histories, metric on <=1000 subsampled rows,
+avg_iou prints for darknet_d.
+
+TPU-native differences: the hot loop is a single compiled train_step
+(forward+loss+backward+Adam+BN update); logits stay on device until the
+per-epoch metric fetch (the reference copies all logits host-side every
+batch, main.py:68); LR reaches the step as a traced scalar.
+"""
+
+import os
+
+import numpy as np
+import jax
+
+from .. import config
+from ..data import loader as data_loader
+from ..losses import LossConfig
+from ..metrics import METRIC_REGISTRY
+from ..models import build_model
+from ..models.darknet import load_darknet19_npz, darknet_freeze_mask
+from . import checkpoint as ckpt
+from .plateau import ReduceLROnPlateau
+from .steps import init_state, make_train_step, make_eval_step
+from .summary import summarize
+
+
+def model_input_shape(params):
+    """NHWC input shape for the current model."""
+    name = params.model
+    if name in ("cnn", "capsule"):
+        return config.input_shape[name]
+    size = int(params.darknet_input)
+    if name == "darkcapsule":
+        size = 224  # see COMPAT.md (reference 448 config is broken)
+    return (size, size, 3)
+
+
+class Trainer:
+    """Owns model, state, and compiled steps for one experiment."""
+
+    def __init__(self, params, seed=0, verbose=True):
+        self.params = params
+        self.loss_cfg = LossConfig.from_params(params)
+        self.model = build_model(params)
+        self.model_name = params.model
+        self.metric = METRIC_REGISTRY[self.model_name]
+        self.needs_labels = (
+            self.model_name == "capsule" and self.loss_cfg.recon
+        )
+        self.state = init_state(
+            self.model, params, model_input_shape(params), seed=seed,
+            batch_size=2, needs_labels=self.needs_labels,
+        )
+        if verbose:
+            summarize(self.state.variables, title=self.model_name)
+
+        freeze_mask = None
+        fine_tune = int(params.get("fine_tune", -1) or -1)
+        if params.get("do_fine_tune", False):
+            npz = params.get("pretrained_weights", "./darknet19_weights.npz")
+            if os.path.exists(npz):
+                variables = load_darknet19_npz(
+                    self.state.variables, npz, n_load_layer=18)
+                self.state = self.state.replace(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"],
+                )
+                print(f"Load weights from {npz}")
+            else:
+                print(f"[fine_tune] pretrained weights {npz!r} not found; "
+                      "training from scratch")
+            if fine_tune > 0:
+                freeze_mask = darknet_freeze_mask(self.state.params, fine_tune)
+
+        self.train_step = make_train_step(
+            self.model, self.model_name, self.loss_cfg,
+            freeze_mask=freeze_mask,
+        )
+        self.eval_step = make_eval_step(
+            self.model, self.model_name, self.loss_cfg)
+
+    # -- epochs ------------------------------------------------------------
+
+    def train_epoch(self, x, y, lr, metric_on=True, progress=None):
+        """One training epoch.  Reference parity: main.py:42-95."""
+        params = self.params
+        x, y = data_loader.shuffle(x, y)
+        n = y.shape[0]
+        n_batch = (n + params.batch_size - 1) // params.batch_size
+        x_split = np.array_split(x, n_batch)
+        y_split = np.array_split(y, n_batch)
+
+        avg_loss = 0.0
+        avg_iou = 0.0
+        y_hat_parts = []
+        for x_bch, y_bch in zip(x_split, y_split):
+            self.state, loss, aux, y_hat_bch = self.train_step(
+                self.state, x_bch.astype(np.float32), y_bch, lr)
+            y_hat_parts.append(y_hat_bch)
+            loss_val = float(loss)
+            avg_loss += loss_val / n_batch
+            if "avg_iou" in aux:
+                avg_iou += float(aux["avg_iou"]) / n_batch
+            if progress is not None:
+                progress.set_postfix(loss="{:05.3f}".format(loss_val))
+                progress.update()
+
+        metric_score = -1
+        if metric_on:
+            y_hat = np.concatenate(
+                [np.asarray(p) for p in y_hat_parts], axis=0)
+            yy = y
+            if n > config.max_metric_samples:
+                i = np.random.choice(n, config.max_metric_samples).astype(int)
+                yy, y_hat = y[i], y_hat[i]
+            metric_score = self.metric(yy, y_hat, params)
+
+        if self.model_name == "darknet_d":
+            print("train avg iou: {:05.3f}".format(avg_iou))
+        return avg_loss, metric_score
+
+    def eval_epoch(self, x, y, metric_on=True):
+        """One evaluation epoch.  Reference parity: main.py:98-143."""
+        params = self.params
+        n = y.shape[0]
+        n_batch = (n + params.batch_size - 1) // params.batch_size
+        x_split = np.array_split(x, n_batch)
+        y_split = np.array_split(y, n_batch)
+
+        avg_loss = 0.0
+        avg_iou = 0.0
+        y_hat_parts = []
+        for x_bch, y_bch in zip(x_split, y_split):
+            loss, aux, y_hat_bch = self.eval_step(
+                self.state, x_bch.astype(np.float32), y_bch)
+            y_hat_parts.append(y_hat_bch)
+            avg_loss += float(loss) / n_batch
+            if "avg_iou" in aux:
+                avg_iou += float(aux["avg_iou"]) / n_batch
+
+        metric_score = -1
+        if metric_on:
+            y_hat = np.concatenate(
+                [np.asarray(p) for p in y_hat_parts], axis=0)
+            yy = y
+            if n > config.max_metric_samples:
+                i = np.random.choice(n, config.max_metric_samples).astype(int)
+                yy, y_hat = y[i], y_hat[i]
+            metric_score = self.metric(yy, y_hat, params)
+
+        if self.model_name == "darknet_d":
+            print("test avg iou: {:05.3f}".format(avg_iou))
+        return avg_loss, metric_score
+
+    # -- checkpoint glue ---------------------------------------------------
+
+    def state_dict(self, epoch, plateau):
+        from flax import serialization
+
+        return {
+            "epoch": epoch,
+            "state": serialization.to_state_dict(self.state),
+            "plateau": plateau.state_dict() if plateau else {},
+        }
+
+    def restore(self, path, model_dir=None, train_frac=None):
+        from flax import serialization
+
+        fallbacks = []
+        if model_dir is not None and train_frac is not None:
+            fallbacks.append(model_dir + str(train_frac))
+        raw = ckpt.load_checkpoint(path, target=None, fallback_dirs=fallbacks)
+        self.state = serialization.from_state_dict(self.state, raw["state"])
+        return raw
+
+
+def train_and_evaluate(params, data_dir, model_dir, is_small=False,
+                       restore_file=None, writer=None, no_metric=False,
+                       seed=0, progress=True):
+    """Full training run.  Reference parity: main.py:146-217."""
+    trainer = Trainer(params, seed=seed)
+    plateau = ReduceLROnPlateau(
+        lr=params.lr_runtime, factor=params.lr_decay)
+
+    if restore_file is not None:
+        restore_path = ckpt.checkpoint_path(model_dir, restore_file)
+        print("Restoring parameters from {}".format(restore_path))
+        raw = trainer.restore(restore_path, model_dir, params.train_frac)
+        if raw.get("plateau"):
+            plateau.load_state_dict(raw["plateau"])
+
+    x_tr, y_tr, x_ev, y_ev = data_loader.load_or_synthesize(
+        data_dir, params, is_small=is_small, npy=params.get("npy", False))
+    to_frac = int(y_tr.shape[0] * params.train_frac)
+    x_tr, y_tr = x_tr[:to_frac], y_tr[:to_frac]
+
+    losses_tr, losses_ev, metrics_tr, metrics_ev = [], [], [], []
+    best_metric_ev = float("-inf")
+    best_loss_ev = float("inf")
+
+    for epoch in range(params.n_epochs):
+        if_eval = ((epoch + 1) % params.eval_every == 0)
+        metric_on = if_eval and not no_metric
+
+        bar = None
+        if progress:
+            from tqdm import trange
+            n_batch = (len(y_tr) + params.batch_size - 1) // params.batch_size
+            bar = trange(n_batch)
+
+        loss_tr, metric_tr = trainer.train_epoch(
+            x_tr, y_tr, plateau.lr, metric_on=metric_on, progress=bar)
+        loss_ev, metric_ev = trainer.eval_epoch(
+            x_ev, y_ev, metric_on=metric_on)
+        if bar is not None:
+            bar.close()
+
+        plateau.step(loss_tr)
+
+        if writer is not None:
+            writer.add_scalar("train_loss", loss_tr, epoch)
+            writer.add_scalar("eval_loss", loss_ev, epoch)
+
+        is_best = metric_ev > best_metric_ev
+        ckpt.save_checkpoint(
+            trainer.state_dict(epoch + 1, plateau),
+            is_best=is_best,
+            checkpoint_dir=model_dir + str(params.train_frac),
+        )
+        if is_best:
+            best_metric_ev = metric_ev
+        if loss_ev < best_loss_ev:
+            best_loss_ev = loss_ev
+
+        if if_eval:
+            if writer is not None:
+                writer.add_scalar("train_metric", metric_tr, epoch)
+                writer.add_scalar("eval_metric", metric_ev, epoch)
+            print(
+                "epoch {} | train loss: {:05.3f} | eval loss: {:05.3f} |"
+                " best eval loss: {:05.3f} | "
+                "train metric: {:05.3f} | eval metric: {:05.3f} | "
+                "best eval metric {:05.3f}".format(
+                    epoch + 1, loss_tr, loss_ev, best_loss_ev,
+                    metric_tr, metric_ev, best_metric_ev))
+            metrics_tr.append(metric_tr)
+            metrics_ev.append(metric_ev)
+            np.save(os.path.join(model_dir, "metrics_tr"), metrics_tr)
+            np.save(os.path.join(model_dir, "metrics_ev"), metrics_ev)
+
+        losses_tr.append(loss_tr)
+        losses_ev.append(loss_ev)
+        np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
+        np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
+
+    if writer is not None:
+        writer.close()
+    return best_metric_ev

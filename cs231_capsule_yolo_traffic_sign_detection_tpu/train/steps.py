@@ -1,0 +1,168 @@
+"""Jitted train/eval steps over a functional TrainState.
+
+The reference's hot loop moves every batch host->device, runs eager
+torch ops, and copies all logits back per batch (reference
+main.py:55-72).  Here one `train_step` is traced and compiled once:
+forward + loss + backward + Adam update + BN stat update fused into a
+single XLA program, with the learning rate as a traced scalar (so the
+plateau scheduler never recompiles) and donated state buffers.
+
+Sharding-agnostic: steps close over no device placement.  With a mesh
+(parallel.mesh), the driver device_puts params replicated and batches
+sharded on the batch axis; XLA inserts the gradient all-reduce.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax
+from flax import struct
+
+from ..losses import LossConfig, LOSS_REGISTRY
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Any
+    step: jnp.ndarray
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def make_optimizer():
+    """Adam moments with torch defaults; LR applied inside the step."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def init_state(model, params_cfg, input_shape, seed=0, batch_size=2,
+               needs_labels=False):
+    """Initialize model variables + optimizer state.
+
+    needs_labels: capsule-style models whose init must trace the recon
+    branch (requires a labels argument).
+    """
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    x = jnp.zeros((batch_size, *input_shape), jnp.float32)
+    kwargs = {}
+    if needs_labels:
+        kwargs = dict(y=jnp.zeros((batch_size,), jnp.int32), recon=True)
+    variables = model.init({"params": init_rng, "dropout": init_rng}, x,
+                           train=False, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt_state = make_optimizer().init(params)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=state_rng,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward(model, variables, x, y, loss_cfg: LossConfig, model_name,
+             train, rngs, mutable):
+    """Model forward + loss; returns (loss, (aux, new_model_state, y_hat))."""
+    wants_recon = model_name == "capsule" and loss_cfg.recon
+    call_kwargs = dict(train=train, rngs=rngs)
+    if mutable:
+        call_kwargs["mutable"] = ["batch_stats"]
+
+    if wants_recon:
+        out = model.apply(variables, x, y=y, recon=True, **call_kwargs)
+    else:
+        out = model.apply(variables, x, **call_kwargs)
+
+    new_model_state = {}
+    if mutable:
+        out, new_model_state = out
+
+    if wants_recon:
+        y_hat, recon = out
+        loss, aux = LOSS_REGISTRY[model_name](y_hat, y, loss_cfg, x, recon)
+    else:
+        y_hat = out
+        loss, aux = LOSS_REGISTRY[model_name](y_hat, y, loss_cfg)
+    return loss, (aux, new_model_state, y_hat)
+
+
+def make_train_step(model, model_name: str, loss_cfg: LossConfig,
+                    freeze_mask: Optional[Any] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted training step.
+
+    Returns step(state, x, y, lr) -> (state, loss, aux, y_hat).
+    """
+    tx = make_optimizer()
+
+    def step(state: TrainState, x, y, lr):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return _forward(
+                model, variables, x, y, loss_cfg, model_name,
+                train=True, rngs={"dropout": dropout_rng},
+                mutable=state.batch_stats is not None,
+            )
+
+        (loss, (aux, new_model_state, y_hat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        if freeze_mask is not None:
+            updates = jax.tree_util.tree_map(
+                lambda u, m: jnp.where(m, u, 0.0), updates, freeze_mask
+            )
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            params=params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, loss, aux, y_hat
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, model_name: str, loss_cfg: LossConfig) -> Callable:
+    """Build the jitted evaluation step: (state, x, y) -> (loss, aux, y_hat)."""
+
+    def step(state: TrainState, x, y):
+        loss, (aux, _, y_hat) = _forward(
+            model, state.variables, x, y, loss_cfg, model_name,
+            train=False, rngs={}, mutable=False,
+        )
+        return loss, aux, y_hat
+
+    return jax.jit(step)
+
+
+def make_predict_step(model) -> Callable:
+    """Jitted inference-only forward: (variables, x) -> y_hat."""
+
+    @jax.jit
+    def step(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return step

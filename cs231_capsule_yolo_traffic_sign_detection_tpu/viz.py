@@ -1,0 +1,64 @@
+"""Host-side visualization: draw predicted boxes + class names (cv2).
+
+Reference parity: plot.py:5-63 (`draw_boxes`, `draw_boxes_vec`) —
+green rectangles for predictions, red for ground truth, class-name
+text from data/GTSDB/class_names.txt, and per-box crops returned for
+the two-stage pipeline.
+"""
+
+import os
+
+import numpy as np
+
+from . import config
+
+_CLASS_NAMES_CACHE = {}
+
+
+def _class_names():
+    path = config.GTSDB + "/class_names.txt"
+    if path not in _CLASS_NAMES_CACHE:
+        if os.path.exists(path):
+            names = np.loadtxt(path, dtype=str, delimiter="\n")
+        else:
+            names = np.array([str(i) for i in range(43)])
+        _CLASS_NAMES_CACHE[path] = names
+    return _CLASS_NAMES_CACHE[path]
+
+
+def draw_boxes(image, xy, classes=None, color=(0, 255, 0)):
+    """Draw boxes on one image; returns (annotated copy, crops list).
+
+    Reference parity: plot.py:5-34.
+    """
+    import cv2
+
+    class_names = _class_names()
+    new_img = image.copy()
+    crops = [image[int(y1):int(y2), int(x1):int(x2)]
+             for x1, y1, x2, y2 in xy]
+
+    for i in range(xy.shape[0]):
+        x1, y1, x2, y2 = xy[i].astype(int)
+        cv2.rectangle(new_img, (x1, y1), (x2, y2), color, 1)
+        if classes is not None:
+            c = int(classes[i])
+            xc, yc = (x1 + x2) // 2, (y1 + y2) // 2
+            cv2.putText(new_img, str(class_names[c]), (xc, yc), 0, 0.5, color)
+
+    return new_img, crops
+
+
+def draw_boxes_vec(images, image_indices, xy, classes=None, color=(0, 255, 0)):
+    """Draw boxes on a batch of images.
+
+    Reference parity: plot.py:37-63.
+    """
+    new_images, crops_bch = [], []
+    for i in range(len(images)):
+        mask = image_indices == i
+        cls_i = classes[mask] if classes is not None else None
+        new_img, crops_img = draw_boxes(images[i], xy[mask], cls_i, color=color)
+        new_images.append(new_img)
+        crops_bch.append(crops_img)
+    return new_images, crops_bch

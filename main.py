@@ -1,0 +1,216 @@
+"""CLI driver — same public surface as the reference main.py.
+
+    python main.py --model {cnn,capsule,darknet_d,darknet_r,darkcapsule}
+                   --mode {train,predict,overfit} [--restore last|best]
+                   [--combine cnn|capsule] ...
+
+Reference parity: main.py:22-39 (all 14 flags, including the quirks:
+--recon is store_false so reconstruction defaults ON; --summary's
+default makes it always true; --recon_coef arrives as str from the CLI
+and is coerced here, where the reference would crash — COMPAT.md).
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+import cs231_capsule_yolo_traffic_sign_detection_tpu as cyt
+from cs231_capsule_yolo_traffic_sign_detection_tpu import config
+from cs231_capsule_yolo_traffic_sign_detection_tpu.data import (
+    loader as data_loader,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.metrics import (
+    recog_acc, recog_auc, recog_pr, detect_AP, detect_acc,
+    detect_and_recog_acc, detect_and_recog_mAP,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+    dark_pred, class_pred, dark_class_pred,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (
+    train_and_evaluate,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train.logging_utils import (
+    ScalarWriter,
+)
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--model', default='cnn', help=' | '.join(config.model_names))
+parser.add_argument('--mode', default='train', help='train | predict | overfit')
+parser.add_argument('--summary', default=True, help='if summarize model', action='store_true')
+parser.add_argument('--seed', type=int, default=0, help='random seed')
+parser.add_argument('--lr', type=float, default=1e-3, help='learning rate')
+parser.add_argument('--dropout', type=float, default=-1, help='dropout rate')
+parser.add_argument('--train_frac', type=float, default=1, help='fraction of train data')
+parser.add_argument('--restore', default=None, help="last | best")
+parser.add_argument('--combine', default=None, help="darknet_r | darknet_d")
+parser.add_argument('--recon', help='if use reconstruction loss', action='store_false')
+parser.add_argument('--recon_coef', default=5e-4, help='reconstruction coefficient')
+parser.add_argument('--eval_every', default=1, type=int, help='evaluate metric every # epochs')
+parser.add_argument('--fine_tune', default=-1, type=int, help='number of fixed layer in fine tuning')
+parser.add_argument('--no_metric', help='do not compute metric', action='store_true')
+parser.add_argument('--model_dir', default=None, help='model dir')
+parser.add_argument('--show', default=False, help='save result', action='store_true')
+parser.add_argument('--npy', default=False, help='data is npy file', action='store_true')
+# TPU-build extensions (default values preserve reference behavior)
+parser.add_argument('--routing', default='xla', help='capsule routing impl: xla | pallas')
+parser.add_argument('--nms', default=False, action='store_true',
+                    help='enable on-device NMS in predict (extension; reference has none)')
+
+
+def get_data_and_model_dir(model_name):
+    """Reference parity: main.py:220-224."""
+    if model_name not in config.model_names:
+        print("Did not recognize model, choose from: ", *config.model_names)
+        sys.exit()
+    return config.data_dir[model_name], config.model_dir[model_name]
+
+
+def load_params(model_dir, args, with_writer=True):
+    """Merge params.json with CLI overrides.  Reference parity:
+    main.py:227-241."""
+    json_path = os.path.join(model_dir, 'params.json')
+    params = cyt.Params(json_path)
+
+    params.seed = args.seed
+    if args.dropout >= 0:
+        params.dropout = args.dropout
+    params.model = args.model
+    params.recon = args.recon
+    params.recon_coef = float(args.recon_coef)
+    params.eval_every = args.eval_every
+    params.train_frac = args.train_frac
+    params.npy = args.npy
+    params.routing_impl = args.routing
+    # reference quirk preserved: the optimizer LR comes from --lr only;
+    # the json 'lr'/'learning_rate' keys are dead (main.py:280)
+    params.lr_runtime = args.lr
+    params.do_fine_tune = args.fine_tune > 0
+    if with_writer:
+        params.writer = ScalarWriter()
+    return params
+
+
+def main():
+    args = parser.parse_args()
+    data_dir, model_dir = get_data_and_model_dir(args.model)
+    if args.model_dir is not None:
+        model_dir = args.model_dir
+
+    params = load_params(model_dir, args, with_writer=args.mode != 'predict')
+
+    np.random.seed(args.seed)
+
+    if args.mode == 'train':
+        train_and_evaluate(
+            params, data_dir, model_dir,
+            restore_file=args.restore,
+            writer=params.get('writer'),
+            no_metric=args.no_metric,
+            seed=args.seed,
+        )
+
+    if args.mode == 'overfit':
+        try:
+            data_loader.make_small_data(data_dir, 3, npy=args.npy)
+        except (FileNotFoundError, OSError):
+            print('[overfit] dataset absent; synthetic small set will be used')
+        train_and_evaluate(
+            params, data_dir, model_dir, is_small=True,
+            restore_file=args.restore,
+            writer=params.get('writer'),
+            no_metric=args.no_metric,
+            seed=args.seed,
+        )
+
+    if args.mode == 'predict':
+        if args.restore is None:
+            print('Must give restore file last/bast')
+            sys.exit()
+
+        class_model = args.model in ('cnn', 'capsule')
+        detect_model = (args.model in ('darknet_d', 'darknet_r')
+                        and args.combine is None)
+        combine_model = (args.model in ('darknet_d', 'darknet_r')
+                         and args.combine in ('cnn', 'capsule'))
+
+        try:
+            with open(data_dir + '/test.p', 'rb') as f:
+                x, y = pickle.load(f)
+        except (FileNotFoundError, OSError):
+            print('[predict] dataset absent; using synthetic test data')
+            _, _, x, y = data_loader.synthetic_dataset(
+                args.model, params, n_train=4, n_eval=16)
+
+        if not class_model:
+            import cv2
+
+            names_path = data_dir + '/test_names.npy'
+            if os.path.exists(names_path):
+                org_image_names = np.load(names_path)
+                x = [cv2.imread(os.path.join(data_dir + '/raw_GTSDB', name))
+                     for name in org_image_names]
+            else:
+                # reconstruct uint8 full-frame images from the stored
+                # centered tensors (synthetic / raw-less runs)
+                x = [np.clip(im * 128.0 + 128, 0, 255).astype(np.uint8)
+                     for im in np.asarray(x)]
+
+        metric_out = {}
+        if class_model:
+            y_hat, _ = class_pred(x, model_dir, params, args.restore)
+            metric_out['recog_pr'] = recog_pr(
+                y, y_hat, params, save=True, save_dir=model_dir)
+            metric_out['recog_acc'] = recog_acc(y, y_hat, params)
+            metric_out['recog_auc'] = recog_auc(
+                y, y_hat, params, save=True, save_dir=model_dir)
+
+        output = None
+        if detect_model:
+            save_dir = model_dir + '/detect_ap'
+            os.makedirs(save_dir, exist_ok=True)
+            y_hat, output = dark_pred(
+                x, model_dir, params, args.restore, y=y, use_nms=args.nms)
+            metric_out['detect_AP'] = detect_AP(
+                y, y_hat, params, save=True, save_dir=save_dir)
+            metric_out['detect_acc'] = detect_acc(y, y_hat, params)
+
+        if combine_model:
+            class_model_dir = get_data_and_model_dir(args.combine)[1]
+            class_args = argparse.Namespace(**vars(args))
+            class_args.model = args.combine
+            class_params = load_params(class_model_dir, class_args,
+                                       with_writer=False)
+            y_hat, output = dark_class_pred(
+                x, model_dir, params, class_model_dir, class_params,
+                args.restore)
+
+            save_dir = model_dir + '/combine-{}_mAP'.format(args.combine)
+            os.makedirs(save_dir, exist_ok=True)
+            metric_out['detect_and_recog_mAP'] = detect_and_recog_mAP(
+                y, y_hat, params, save=True, save_dir=save_dir)
+            metric_out['detect_and_recog_acc'] = detect_and_recog_acc(
+                y, y_hat, params)
+
+        save_path = model_dir + "/metric_output.txt"
+        if combine_model:
+            save_path = model_dir + "/combine-{}_metric_output.txt".format(
+                args.combine)
+        with open(save_path, "w") as text_file:
+            for k, v in metric_out.items():
+                text_file.write("{}:{}, ".format(k, v))
+                print("{}:{}, ".format(k, v))
+
+        if (detect_model or combine_model) and output is not None:
+            import cv2
+
+            save_dir = os.path.join(model_dir, 'output')
+            os.makedirs(save_dir, exist_ok=True)
+            for i, image in enumerate(output):
+                cv2.imwrite(os.path.join(save_dir, str(i) + '.jpg'), image)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,51 @@
+"""Test harness config: force CPU with 8 virtual devices.
+
+The standard JAX fake-multichip trick: multi-device sharding tests run
+against --xla_force_host_platform_device_count=8 on CPU, so the data/
+model-parallel code paths compile and execute without TPU hardware
+(SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # allow f64 in parity tests
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture
+def det_params():
+    """Detection params (darknet_r-like, tiny grid for speed)."""
+    return Params(
+        n_classes=43, n_boxes=2, n_grid=4, darknet_input=64,
+        l_coord=5.0, l_noobj=0.5, batch_size=4, model="darknet_r",
+        capsule_input=32, recon=True, recon_coef=5e-4,
+    )
+
+
+@pytest.fixture
+def det_params_noclass():
+    return Params(
+        n_classes=0, n_boxes=2, n_grid=4, darknet_input=64,
+        l_coord=5.0, l_noobj=0.5, batch_size=4, model="darknet_d",
+        capsule_input=32, recon=True, recon_coef=5e-4,
+    )
