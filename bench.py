@@ -1,0 +1,156 @@
+"""Benchmark: GTSDB end-to-end detection inference throughput.
+
+Measures images/sec of the flagship pipeline — darknet_r @ 448 forward
++ on-device grid decode (confidence top-k), all inside one jitted
+program on the TPU — against the reference's CPU path (torch DarkNet
+forward + numpy y_to_boxes_vec decode), executed directly from
+/root/reference (never copied).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <img/s>, "unit": "img/s", "vs_baseline": <x>}
+
+All logging goes to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BATCH = 32
+SIZE = 448
+N_BOXES = 1
+N_CLASSES = 43
+WARMUP = 3
+ITERS = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
+
+    log(f"[bench] jax backend: {jax.default_backend()}, "
+        f"devices: {jax.devices()}")
+
+    model = DarkNet(n_boxes=N_BOXES, n_classes=N_CLASSES, dropout=0.0)
+    x0 = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    # The pipeline returns a scalar checksum of the decoded outputs:
+    # over a tunneled TPU backend, block_until_ready resolves before
+    # execution finishes, so the only reliable barrier is a D2H fetch —
+    # a scalar keeps that fetch off the timed bandwidth path.  Inputs
+    # are device-resident (the framework's data pipeline keeps datasets
+    # in HBM).
+    @jax.jit
+    def pipeline(variables, x):
+        y = model.apply(variables, x, train=False)
+        d = decode.decode_grid(
+            y, n_classes=N_CLASSES, n_boxes=N_BOXES, img_size=SIZE,
+            max_boxes=64, conf_th=0.5)
+        return (jnp.sum(d["conf"]) + jnp.sum(d["xy"])
+                + jnp.sum(d["classes"]).astype(jnp.float32))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+
+    t0 = time.perf_counter()
+    out = float(pipeline(variables, x))
+    log(f"[bench] compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"(checksum {out:.2f})")
+
+    for _ in range(WARMUP):
+        out = pipeline(variables, x)
+    _ = float(out)
+
+    # fetch-latency floor (tunnel RTT), subtracted from the timed run
+    ready = pipeline(variables, x)
+    _ = float(ready)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(ready)
+    rtt = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = pipeline(variables, x)
+    _ = float(out)   # waits for the whole dispatched chain
+    dt = time.perf_counter() - t0 - rtt
+    ips = BATCH * ITERS / dt
+    log(f"[bench] tpu: {ITERS} x batch {BATCH} in {dt:.3f}s "
+        f"(rtt {rtt*1e3:.1f}ms) -> {ips:.1f} img/s")
+    return ips
+
+
+def bench_reference_cpu(n_images=4):
+    """Run the reference's torch model + numpy decode on CPU."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+        import importlib
+
+        ref_models = importlib.import_module("models")
+        ref_utils = importlib.import_module("utils")
+
+        class P:  # minimal params bag for the reference model
+            device = "cpu"
+            dropout = 0.0
+            n_boxes = N_BOXES
+            n_classes = N_CLASSES
+            darknet_input = SIZE
+            n_grid = SIZE // 32
+            model = "darknet_r"
+
+        torch.set_num_threads(os.cpu_count() or 1)
+        model = ref_models.DarkNet(P())
+        model.eval()
+
+        rng = np.random.RandomState(0)
+        x = torch.from_numpy(
+            rng.rand(1, 3, SIZE, SIZE).astype(np.float32))
+
+        with torch.no_grad():
+            y = model(x)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(n_images):
+                y = model(x)
+                _ = ref_utils.y_to_boxes_vec(
+                    y.data.cpu().numpy(), P(), conf_th=0.5)
+            dt = time.perf_counter() - t0
+        ips = n_images / dt
+        log(f"[bench] reference cpu: {n_images} img in {dt:.2f}s -> "
+            f"{ips:.2f} img/s")
+        return ips
+    except Exception as e:  # reference not runnable -> record and skip
+        log(f"[bench] reference baseline failed: {type(e).__name__}: {e}")
+        return None
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def main():
+    ips = bench_tpu()
+    base = bench_reference_cpu()
+    vs = (ips / base) if base else -1.0
+    print(json.dumps({
+        "metric": "gtsdb_e2e_inference_throughput",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,13 +162,25 @@ def decode_with_conf(y, params, image_hw=None):
     return out
 
 
-def confusion_sweep(gt, pred, iou_ths, conf_ths, cls_filter=None):
+def confusion_sweep(gt, pred, iou_ths, conf_ths, cls_filter=None,
+                    use_native=True):
     """TP/FP/FN over the full (iou_th x conf_th) grid, all images.
 
     gt/pred: outputs of decode_with_conf.  cls_filter: restrict both
     sets to one class id.  Thresholding is strict `conf > th`, matching
     the reference decode (utils.py:313).
+
+    Dispatches to the C++ kernel (native/confusion.cpp via ctypes) when
+    available; the numpy path below is the portable reference
+    implementation (parity-tested in tests/test_metrics.py).
     """
+    if use_native:
+        from ._native import confusion_sweep_native
+
+        out = confusion_sweep_native(gt, pred, iou_ths, conf_ths, cls_filter)
+        if out is not None:
+            return out
+
     iou_ths = np.asarray(iou_ths)
     conf_ths = np.asarray(conf_ths)
     nI, nC = iou_ths.size, conf_ths.size

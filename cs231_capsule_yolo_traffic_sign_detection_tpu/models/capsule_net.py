@@ -108,6 +108,12 @@ class CapsuleNet(nn.Module):
         caps = self.capsules(x)
         scores = capsule_norm(caps)
         if not recon:
+            if self.is_initializing():
+                # register decoder params even when the recon branch is
+                # unused (the reference builds the decoder in __init__
+                # unconditionally, models.py:96-111) so checkpoints are
+                # mode-independent
+                self.decoder(jnp.zeros((x.shape[0], 16), x.dtype))
             return scores
         t = jnp.take_along_axis(caps, y[:, None, None], axis=1)[:, 0]
         decoded = self.decoder(t)

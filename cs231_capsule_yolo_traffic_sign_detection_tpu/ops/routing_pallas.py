@@ -57,10 +57,16 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
     node_mask = (lane_ids < N).astype(priors.dtype)        # (K_pad, N_pad)
 
-    # constant group-sum matrix: G[k, j] = 1 iff j // D == k
+    # constant group matrices: gsum (K_pad, KD) sums a capsule's D rows,
+    # its transpose grep (KD, K_pad) broadcasts one value per capsule to
+    # its D rows.  Matmul-based (MXU) to avoid sublane reshape/repeat
+    # relayouts.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 1)
     gsum = (col_ids // D == row_ids).astype(priors.dtype)  # (K_pad, KD)
+    rep_ids = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 0)
+    rep_cols = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 1)
+    grep = (rep_ids // D == rep_cols).astype(priors.dtype)  # (KD, K_pad)
 
     # capsule-padding mask for the softmax (padded capsules -> -inf)
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
@@ -68,9 +74,14 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
 
     def squash_caps(s):
         """s: (KD, 1) summed votes -> squashed v (KD, 1)."""
-        sq = jnp.dot(gsum, s * s, preferred_element_type=s.dtype)  # (K_pad,1)
-        scale = sq / (1.0 + sq) * jax.lax.rsqrt(sq + 1e-12)
-        scale_rep = pltpu.repeat(scale, D, axis=0)                  # (KD,1)
+        sq = jnp.dot(gsum, s * s, preferred_element_type=s.dtype,
+                     precision=jax.lax.Precision.HIGHEST)  # (K_pad,1)
+        # NOTE: full-precision 1/sqrt, not lax.rsqrt — inside Mosaic the
+        # latter lowers to the hardware's unrefined rsqrt approximation
+        # (~0.3% rel error), which breaks parity with the XLA path.
+        scale = sq / (1.0 + sq) / jnp.sqrt(sq + 1e-12)
+        scale_rep = jnp.dot(grep, scale, preferred_element_type=s.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
         return s * scale_rep
 
     def routed_outputs(logits):
@@ -80,7 +91,9 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
         e = jnp.exp(shifted - m)
         probs = e / jnp.sum(e, axis=0, keepdims=True)      # (K_pad, N_pad)
         probs = probs * node_mask
-        probs_rep = pltpu.repeat(probs, D, axis=0)         # (KD, N_pad)
+        probs_rep = jnp.dot(grep, probs,
+                            preferred_element_type=priors.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
         s = jnp.sum(probs_rep * priors, axis=1, keepdims=True)  # (KD, 1)
         return squash_caps(s)
 
@@ -88,7 +101,8 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
         v = routed_outputs(logits)                         # (KD, 1)
         # agreement: delta[k, n] = sum_d priors[kD+d, n] * v[kD+d]
         delta = jnp.dot(gsum, priors * v,
-                        preferred_element_type=priors.dtype)  # (K_pad, N_pad)
+                        preferred_element_type=priors.dtype,
+                        precision=jax.lax.Precision.HIGHEST)  # (K_pad, N_pad)
         return logits + delta
 
     logits0 = jnp.zeros((K_pad, N_pad), priors.dtype)
@@ -115,7 +129,10 @@ def _priors_transposed(x, route_weights):
     )
 
 
-def _routed_forward(x, route_weights, n_iter, interpret=False):
+def _routed_forward(x, route_weights, n_iter, interpret=None):
+    if interpret is None:
+        # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
+        interpret = jax.default_backend() != "tpu"
     B, N, _ = x.shape
     _, K, _, D = route_weights.shape
     # K padded so the group matmul rows stay tiny yet sublane-aligned

@@ -52,11 +52,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def routing_param_spec(path) -> P:
     """PartitionSpec for a param leaf: shard capsule routing weights
-    (n_nodes, n_caps, in_c, out_c) over 'model' on the n_caps axis;
-    everything else replicated."""
+    (n_nodes, n_caps, in_c, out_c) over 'model' on the n_nodes axis —
+    the routing contraction dimension (1296 nodes for CapsuleNet),
+    so the weighted node-sum becomes a sharded partial sum and XLA
+    inserts the psum over 'model'.  (The caps axis is 43 — prime — and
+    cannot be evenly device_put-sharded.)  Everything else replicated."""
     keys = [str(getattr(p, "key", "")) for p in path]
     if keys and keys[-1] == "route_weights":
-        return P(None, "model", None, None)
+        return P("model", None, None, None)
     return P()
 
 

@@ -38,7 +38,10 @@ def model_input_shape(params):
         return config.input_shape[name]
     size = int(params.darknet_input)
     if name == "darkcapsule":
-        size = 224  # see COMPAT.md (reference 448 config is broken)
+        # the capsule grid reshape requires input = 32 * n_grid
+        # (224 for the reference g=7 — its 448 config is broken,
+        # COMPAT.md)
+        size = 32 * int(params.n_grid)
     return (size, size, 3)
 
 
@@ -97,20 +100,22 @@ class Trainer:
         x_split = np.array_split(x, n_batch)
         y_split = np.array_split(y, n_batch)
 
-        avg_loss = 0.0
-        avg_iou = 0.0
+        # device scalars accumulate without per-batch host syncs; the
+        # host only blocks when the progress bar wants a live loss
+        losses, ious = [], []
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
             self.state, loss, aux, y_hat_bch = self.train_step(
                 self.state, x_bch.astype(np.float32), y_bch, lr)
             y_hat_parts.append(y_hat_bch)
-            loss_val = float(loss)
-            avg_loss += loss_val / n_batch
+            losses.append(loss)
             if "avg_iou" in aux:
-                avg_iou += float(aux["avg_iou"]) / n_batch
+                ious.append(aux["avg_iou"])
             if progress is not None:
-                progress.set_postfix(loss="{:05.3f}".format(loss_val))
+                progress.set_postfix(loss="{:05.3f}".format(float(loss)))
                 progress.update()
+        avg_loss = float(np.mean([float(l) for l in losses]))
+        avg_iou = float(np.mean([float(i) for i in ious])) if ious else 0.0
 
         metric_score = -1
         if metric_on:
@@ -134,16 +139,17 @@ class Trainer:
         x_split = np.array_split(x, n_batch)
         y_split = np.array_split(y, n_batch)
 
-        avg_loss = 0.0
-        avg_iou = 0.0
+        losses, ious = [], []
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
             loss, aux, y_hat_bch = self.eval_step(
                 self.state, x_bch.astype(np.float32), y_bch)
             y_hat_parts.append(y_hat_bch)
-            avg_loss += float(loss) / n_batch
+            losses.append(loss)
             if "avg_iou" in aux:
-                avg_iou += float(aux["avg_iou"]) / n_batch
+                ious.append(aux["avg_iou"])
+        avg_loss = float(np.mean([float(l) for l in losses]))
+        avg_iou = float(np.mean([float(i) for i in ious])) if ious else 0.0
 
         metric_score = -1
         if metric_on:

@@ -1,0 +1,117 @@
+"""Metric suite tests: reference self-test cases (metrics.py:373-386),
+confusion semantics, AP interpolation, and native-kernel parity."""
+
+import numpy as np
+import pytest
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu import metrics as M
+from cs231_capsule_yolo_traffic_sign_detection_tpu.metrics import detection as D
+
+
+def test_recog_acc():
+    y = np.array([0, 1, 2, 3])
+    y_hat = np.eye(4)
+    assert M.recog_acc(y, y_hat, None) == 1.0
+    y_hat2 = np.roll(np.eye(4), 1, axis=1)
+    assert M.recog_acc(y, y_hat2, None) == 0.0
+
+
+def test_recog_auc_pr_identity(det_params):
+    """The reference's inline self-test (metrics.py:376-380)."""
+    det_params.n_classes = 4
+    y, y_hat = np.array([0, 1, 2, 3]), np.eye(4)
+    assert M.recog_auc(y, y_hat, det_params) == 1.0
+    assert M.recog_pr(y, y_hat, det_params) == 1.0
+    det_params.n_classes = 43
+
+
+def test_calc_iou_individual():
+    assert D.calc_iou_individual([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    v = D.calc_iou_individual([0, 0, 10, 10], [5, 5, 15, 15])
+    np.testing.assert_allclose(v, 25 / 175)
+    with pytest.raises(AssertionError):
+        D.calc_iou_individual([0, 0, 10, 10], [5, 5, 1, 15])
+
+
+def test_single_img_confusion():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]])
+    pred = np.array([[1, 1, 11, 11], [50, 50, 60, 60], [52, 52, 61, 61]])
+    tp, fp, fn = D.single_img_confusion(gt, pred, iou_th=0.5)
+    assert (tp, fp, fn) == (1, 2, 1)
+
+
+def test_average_precision():
+    p = np.array([1.0, 1.0, 0.5, 0.25])
+    r = np.array([0.0, 0.5, 0.75, 1.0])
+    # levels 0,.1..1: max precision at r>=level
+    ap = D.average_precision(p, r)
+    expected = np.mean([1, 1, 1, 1, 1, 1, 0.5, 0.5, 0.25, 0.25, 0.25])
+    np.testing.assert_allclose(ap, expected)
+
+
+def _perfect_pred(det_params, rng):
+    g, C = det_params.n_grid, det_params.n_classes
+    y = np.zeros((3, g, g, 5 + C))
+    for i in range(3):
+        r, c = rng.randint(0, g, 2)
+        y[i, r, c, 0:5] = [1, rng.rand(), rng.rand(), 0.3, 0.3]
+        y[i, r, c, 5 + rng.randint(C)] = 1
+    # prediction: same boxes with conf 0.9 in the B=2 layout
+    y_hat = np.zeros((3, g, g, 10 + C))
+    y_hat[..., 0:5] = y[..., 0:5]
+    y_hat[..., 0] = np.where(y[..., 0] == 1, 0.9, 0.0)
+    y_hat[..., 10:] = y[..., 5:]
+    return y, y_hat
+
+
+def test_detect_acc_perfect(det_params, rng):
+    y, y_hat = _perfect_pred(det_params, rng)
+    acc = M.detect_acc(y, y_hat, det_params)
+    assert acc > 0.999
+
+
+def test_detect_AP_perfect(det_params, rng):
+    y, y_hat = _perfect_pred(det_params, rng)
+    ap = M.detect_AP(y, y_hat, det_params)
+    # perfect boxes at conf .9: AP high but the sweep includes
+    # conf_th >= 0.9 where recall drops to 0 -> not exactly 1
+    assert ap > 0.85
+
+
+def test_detect_and_recog_acc_perfect(det_params, rng):
+    y, y_hat = _perfect_pred(det_params, rng)
+    acc = M.detect_and_recog_acc(y, y_hat, det_params)
+    assert acc > 0.999
+
+
+def test_native_matches_numpy(det_params, rng):
+    y, y_hat = _perfect_pred(det_params, rng)
+    # degrade predictions for a nontrivial confusion surface
+    y_hat = y_hat + rng.rand(*y_hat.shape) * 0.3
+    gt = D.decode_with_conf(y, det_params)
+    pred = D.decode_with_conf(y_hat, det_params)
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.metrics._native import (
+        get_lib,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    for cls_filter in (None, 3):
+        a = D.confusion_sweep(gt, pred, D.IOU_THS, D.CONF_THS,
+                              cls_filter=cls_filter, use_native=True)
+        b = D.confusion_sweep(gt, pred, D.IOU_THS, D.CONF_THS,
+                              cls_filter=cls_filter, use_native=False)
+        for x, y_ in zip(a, b):
+            np.testing.assert_array_equal(x, y_)
+
+
+def test_darkcapsule_cell_f1(det_params):
+    g = det_params.n_grid
+    y = np.zeros((2, g, g, 5 + 43))
+    y[0, 1, 1, 0] = 1
+    caps = np.zeros((2, g, g, 5))
+    caps[0, 1, 1] = 0.5          # norm ~1.1 > 0.5 -> predicted present
+    f1 = M.darkcapsule_cell_f1(y, caps, det_params)
+    assert f1 > 0.999
