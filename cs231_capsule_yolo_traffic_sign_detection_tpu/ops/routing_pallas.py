@@ -158,6 +158,11 @@ def _routed_forward(x, route_weights, n_iter, interpret=None):
         out_specs=pl.BlockSpec((1, KD, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, KD, 1), priors.dtype),
+        # the double-buffered priors block (2 x KD x N_pad f32) plus
+        # elementwise temporaries slightly exceed the 16MB default
+        # scoped-vmem limit at CapsuleNet size; raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(priors)
 

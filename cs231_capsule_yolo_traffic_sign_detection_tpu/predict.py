@@ -90,11 +90,19 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     if is_end:
         return y_hat, output_images
 
-    capsule_input = (params.capsule_input, params.capsule_input)
-    output_crops = np.array([
-        cv2.resize(crop, capsule_input)
+    ci = int(params.capsule_input)
+    # degenerate boxes (clipped outside the image) yield empty crops;
+    # substitute zeros to keep crop<->box alignment for combine_y_hat
+    # (the reference crashes on these in cv2.resize)
+    all_crops = [
+        cv2.resize(crop, (ci, ci)) if crop.size > 0
+        else np.zeros((ci, ci, 3), np.float32)
         for crops in crops_bch for crop in crops
-    ])
+    ]
+    if all_crops:
+        output_crops = np.array(all_crops)
+    else:  # zero detections: keep the (0, h, w, 3) shape contract
+        output_crops = np.zeros((0, ci, ci, 3), np.float32)
     return y_hat, output_crops, image_indices, boxes_xy
 
 
@@ -103,10 +111,13 @@ def class_pred(x, model_dir, params, restore_file):
 
     Reference parity: predict_fns.py:60-73.
     """
+    x = np.asarray(x, np.float32)
+    if x.shape[0] == 0:  # zero crops from an upstream empty detection
+        y_hat = np.zeros((0, params.n_classes), np.float32)
+        return y_hat, np.zeros((0,), np.int64)
     model, variables = restore_variables(params, model_dir, restore_file)
     step = make_predict_step(model)
-    y_hat = _batched_forward(
-        step, variables, np.asarray(x, np.float32), params.batch_size)
+    y_hat = _batched_forward(step, variables, x, params.batch_size)
     return y_hat, np.argmax(y_hat, axis=1)
 
 

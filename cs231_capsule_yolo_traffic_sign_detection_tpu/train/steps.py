@@ -145,6 +145,29 @@ def make_train_step(model, model_name: str, loss_cfg: LossConfig,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_grad_fn(model, model_name: str, loss_cfg: LossConfig) -> Callable:
+    """Jitted (state, x, y) -> (loss, grads); used by parity tests."""
+
+    def fn(state: TrainState, x, y):
+        _, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return _forward(
+                model, variables, x, y, loss_cfg, model_name,
+                train=True, rngs={"dropout": dropout_rng},
+                mutable=state.batch_stats is not None,
+            )
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return loss, grads
+
+    return jax.jit(fn)
+
+
 def make_eval_step(model, model_name: str, loss_cfg: LossConfig) -> Callable:
     """Build the jitted evaluation step: (state, x, y) -> (loss, aux, y_hat)."""
 

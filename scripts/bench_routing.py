@@ -1,0 +1,62 @@
+"""Microbenchmark: fused Pallas routing kernel vs the XLA path (TPU).
+
+CapsuleNet shapes: B x 1296 nodes x 43 caps x 16 dims, 3 iterations.
+Timing uses device-computed scalar checksums fetched to host (the only
+reliable barrier over a tunneled backend).
+
+Usage: python scripts/bench_routing.py [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import capsule as C
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import (
+    routing_pallas as RP,
+)
+
+
+def timed(fn, *args, iters=20):
+    out = float(fn(*args))          # compile + warmup
+    for _ in range(3):
+        fn(*args)
+    _ = float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    val = float(r)
+    return (time.perf_counter() - t0) / iters, val
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    N, K, in_c, D = 1296, 43, 8, 16
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, N, in_c).astype(np.float32))
+    w = jnp.asarray((0.1 * rng.randn(N, K, in_c, D)).astype(np.float32))
+
+    @jax.jit
+    def xla(x, w):
+        priors = C.compute_priors(x, w)
+        return jnp.sum(C.dynamic_routing(priors, 3)[:, 0] ** 2)
+
+    @jax.jit
+    def pallas(x, w):
+        return jnp.sum(RP.routed_capsules_pallas(x, w, 3) ** 2)
+
+    t_x, v_x = timed(xla, x, w)
+    t_p, v_p = timed(pallas, x, w)
+    print(f"batch={batch} N={N} K={K} D={D}")
+    print(f"xla:    {t_x*1e3:8.3f} ms/iter  checksum {v_x:.6f}")
+    print(f"pallas: {t_p*1e3:8.3f} ms/iter  checksum {v_p:.6f}")
+    print(f"speedup: {t_x/t_p:.2f}x   rel err {abs(v_x-v_p)/abs(v_x):.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter start and pins the
+# tunneled single-chip TPU backend; env vars set afterwards are ignored.
+# config.update still wins as long as no backend has initialized.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # allow f64 in parity tests
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,84 @@
+"""On-device grid decode parity vs the host reference decode
+(ops.boxes.y_to_boxes_vec, reference utils.py:288-334), plus the
+optional NMS extension."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import boxes as B
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode as D
+
+
+def _rand_grid(rng, batch=3, g=4, nb=2, C=43):
+    y = rng.rand(batch, g, g, 5 * nb + C).astype(np.float32)
+    return y
+
+
+def _sorted_rows(idx, xy, cls):
+    """Stack decode output into rows sorted deterministically.
+
+    Device decode is f32, host reference is f64 — rows are matched by a
+    sort key and compared with a tolerance instead of exact sets.
+    """
+    cols = [np.asarray(idx, np.float64)]
+    cols += [np.asarray(xy, np.float64)[:, j] for j in range(4)]
+    if cls is not None:
+        cols.append(np.asarray(cls, np.float64))
+    rows = np.stack(cols, axis=1)
+    order = np.lexsort([np.round(rows[:, j], 1)
+                        for j in range(rows.shape[1] - 1, -1, -1)])
+    return rows[order]
+
+
+def _assert_same_boxes(ours, ref):
+    a = _sorted_rows(*ours)
+    b = _sorted_rows(*ref)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
+def test_decode_grid_matches_host(det_params, rng):
+    y = _rand_grid(rng, C=det_params.n_classes)
+    decoded = D.decode_grid(
+        jnp.asarray(y), n_classes=det_params.n_classes,
+        n_boxes=det_params.n_boxes, img_size=det_params.darknet_input,
+        max_boxes=64, conf_th=0.5)
+    ours = D.to_flat_host(decoded)
+
+    ref = B.y_to_boxes_vec(y, det_params, conf_th=0.5)
+    _assert_same_boxes(ours, ref)
+
+
+def test_decode_grid_matches_host_noclass(det_params_noclass, rng):
+    y = _rand_grid(rng, C=0)
+    decoded = D.decode_grid(
+        jnp.asarray(y), n_classes=0, n_boxes=2,
+        img_size=det_params_noclass.darknet_input,
+        max_boxes=64, conf_th=0.5)
+    ours = D.to_flat_host(decoded, with_classes=False)
+    ref = B.y_to_boxes_vec(y, det_params_noclass, conf_th=0.5)
+    assert ours[2] is None and ref[2] is None
+    _assert_same_boxes((ours[0], ours[1], None), (ref[0], ref[1], None))
+
+
+def test_decode_image_hw_rescale(det_params, rng):
+    y = _rand_grid(rng, batch=2, C=det_params.n_classes)
+    image_hw = np.array([[128, 256], [64, 64]])
+    decoded = D.decode_grid(
+        jnp.asarray(y), n_classes=det_params.n_classes,
+        n_boxes=det_params.n_boxes, img_size=det_params.darknet_input,
+        max_boxes=64, conf_th=0.5)
+    ours = D.to_flat_host(decoded, image_hw=image_hw,
+                          img_size=det_params.darknet_input)
+    ref = B.y_to_boxes_vec(y, det_params, image_hw=image_hw, conf_th=0.5)
+    _assert_same_boxes(ours, ref)
+
+
+def test_nms_mask_suppresses_overlaps():
+    # two near-identical boxes + one distant; conf-sorted
+    xy = jnp.asarray(np.array([
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]]], np.float32))
+    conf = jnp.asarray(np.array([[0.9, 0.8, 0.7]], np.float32))
+    valid = jnp.asarray(np.array([[True, True, True]]))
+    keep = np.asarray(D.nms_mask(xy, conf, valid, iou_th=0.5))
+    assert keep.tolist() == [[True, False, True]]

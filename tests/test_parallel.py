@@ -30,28 +30,51 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+def _copy_state(state):
+    """Deep-copy a TrainState (train_step donates its input buffers)."""
+    import jax as _jax
+
+    return _jax.tree_util.tree_map(jnp.array, state)
+
+
 def test_dp_train_step_matches_single_device():
+    """Loss and gradients of the sharded step match the single-device
+    step.  Compared in float64 where they agree to machine epsilon; in
+    f32 the comparison is polluted by reduction-order noise on grads
+    that cancel over ~1e4 terms (BN betas, pre-BN conv biases)."""
     p = _params("cnn")
     trainer = Trainer(p, verbose=False)
     rng = np.random.RandomState(0)
-    x = rng.rand(8, 32, 32, 3).astype(np.float32)
-    y = rng.randint(0, 43, 8)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3))           # f64 (x64 on)
+    y = jnp.asarray(rng.randint(0, 43, 8))
 
-    # single-device result
-    state1, loss1, _, _ = trainer.train_step(
-        trainer.state, jnp.asarray(x), jnp.asarray(y), 1e-3)
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.steps import (
+        make_grad_fn,
+    )
 
-    # data-parallel over 8 devices
+    def to_f64(t):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else jnp.array(a), t)
+
+    grad_fn = make_grad_fn(trainer.model, trainer.model_name,
+                           trainer.loss_cfg)
+    state0 = to_f64(trainer.state)
+    loss1, grads1 = grad_fn(_copy_state(state0), x, y)
+
     mesh = par.make_mesh(n_data=8, n_model=1)
-    state_sharded = par.shard_state(trainer.state, mesh)
-    xs, ys = par.shard_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
-    state2, loss2, _, _ = trainer.train_step(state_sharded, xs, ys, 1e-3)
+    state_sharded = par.shard_state(state0, mesh)
+    xs, ys = par.shard_batch((x, y), mesh)
+    loss2, grads2 = grad_fn(state_sharded, xs, ys)
 
-    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
-                    jax.tree_util.tree_leaves(state2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
-                                   atol=1e-7)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-12)
+    flat1 = jax.tree_util.tree_flatten_with_path(grads1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(grads2)[0]
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-12,
+            err_msg="/".join(str(getattr(q, "key", "")) for q in path))
 
 
 def test_tp_routing_sharded_capsule():
@@ -61,10 +84,11 @@ def test_tp_routing_sharded_capsule():
     x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
     y = jnp.asarray(rng.randint(0, 43, 4))
 
-    _, loss1, _, _ = trainer.train_step(trainer.state, x, y, 1e-3)
+    state0 = _copy_state(trainer.state)
+    _, loss1, _, _ = trainer.train_step(_copy_state(state0), x, y, 1e-3)
 
     mesh = par.make_mesh(n_data=4, n_model=2)
-    state_sharded = par.shard_state(trainer.state, mesh, shard_routing=True)
+    state_sharded = par.shard_state(state0, mesh, shard_routing=True)
     xs, ys = par.shard_batch((x, y), mesh)
     _, loss2, _, _ = trainer.train_step(state_sharded, xs, ys, 1e-3)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
