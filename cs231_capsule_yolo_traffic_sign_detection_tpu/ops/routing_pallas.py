@@ -27,7 +27,6 @@ kernel is future work).
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

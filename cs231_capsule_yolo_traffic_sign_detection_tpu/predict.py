@@ -10,15 +10,10 @@ the final ragged box lists and cv2 drawing are host-side.  The
 reference runs decode in numpy per batch (predict_fns.py:46).
 """
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 
 from . import viz
-from .losses import LossConfig
-from .metrics import METRIC_REGISTRY  # noqa: F401  (re-export convenience)
-from .models import build_model
 from .ops import decode as decode_ops
 from .train import checkpoint as ckpt
 from .train.driver import Trainer, model_input_shape

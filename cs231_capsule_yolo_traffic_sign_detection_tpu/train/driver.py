@@ -89,15 +89,49 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.model, self.model_name, self.loss_cfg)
 
+        # HBM-resident dataset cache: the whole dataset is device_put
+        # once and batches are device-side gathers driven by tiny index
+        # arrays — no per-step image transfer (the reference re-uploads
+        # every batch every epoch, main.py:57-59).  Both datasets fit
+        # comfortably in HBM (SURVEY.md §7).
+        self.device_data = bool(params.get("device_data", True))
+        self._data_cache = {}
+
+    def _device_dataset(self, tag, x):
+        import jax.numpy as jnp
+
+        key = (tag, x.shape, x.dtype.str)
+        if key not in self._data_cache:
+            for stale in [k for k in self._data_cache if k[0] == tag]:
+                del self._data_cache[stale]
+            self._data_cache[key] = jnp.asarray(x, jnp.float32)
+        return self._data_cache[key]
+
     # -- epochs ------------------------------------------------------------
 
     def train_epoch(self, x, y, lr, metric_on=True, progress=None):
         """One training epoch.  Reference parity: main.py:42-95."""
+        import jax.numpy as jnp
+
         params = self.params
-        x, y = data_loader.shuffle(x, y)
         n = y.shape[0]
         n_batch = (n + params.batch_size - 1) // params.batch_size
-        x_split = np.array_split(x, n_batch)
+
+        if self.device_data:
+            # device-resident images: shuffle = permuted index gather on
+            # device (same np.random.permutation consumption as the host
+            # path, so RNG-dependent behavior is unchanged)
+            x_dev = self._device_dataset("train", x)
+            perm = np.random.permutation(n)
+            y = y[perm]
+            x_split = [
+                jnp.take(x_dev, jnp.asarray(i), axis=0)
+                for i in np.array_split(perm, n_batch)
+            ]
+        else:
+            x, y = data_loader.shuffle(x, y)
+            x_split = [b.astype(np.float32)
+                       for b in np.array_split(x, n_batch)]
         y_split = np.array_split(y, n_batch)
 
         # device scalars accumulate without per-batch host syncs; the
@@ -106,7 +140,7 @@ class Trainer:
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
             self.state, loss, aux, y_hat_bch = self.train_step(
-                self.state, x_bch.astype(np.float32), y_bch, lr)
+                self.state, x_bch, y_bch, lr)
             y_hat_parts.append(y_hat_bch)
             losses.append(loss)
             if "avg_iou" in aux:
@@ -133,17 +167,27 @@ class Trainer:
 
     def eval_epoch(self, x, y, metric_on=True):
         """One evaluation epoch.  Reference parity: main.py:98-143."""
+        import jax.numpy as jnp
+
         params = self.params
         n = y.shape[0]
         n_batch = (n + params.batch_size - 1) // params.batch_size
-        x_split = np.array_split(x, n_batch)
+        if self.device_data:
+            x_dev = self._device_dataset("eval", x)
+            bounds = np.cumsum([len(b) for b in
+                                np.array_split(np.arange(n), n_batch)])
+            x_split = [x_dev[lo:hi] for lo, hi in
+                       zip(np.concatenate([[0], bounds[:-1]]), bounds)]
+        else:
+            x_split = [b.astype(np.float32)
+                       for b in np.array_split(x, n_batch)]
         y_split = np.array_split(y, n_batch)
 
         losses, ious = [], []
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
             loss, aux, y_hat_bch = self.eval_step(
-                self.state, x_bch.astype(np.float32), y_bch)
+                self.state, x_bch, y_bch)
             y_hat_parts.append(y_hat_bch)
             losses.append(loss)
             if "avg_iou" in aux:

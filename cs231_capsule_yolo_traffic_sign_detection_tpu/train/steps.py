@@ -12,14 +12,11 @@ Sharding-agnostic: steps close over no device placement.  With a mesh
 sharded on the batch axis; XLA inserts the gradient all-reduce.
 """
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-import flax
 from flax import struct
 
 from ..losses import LossConfig, LOSS_REGISTRY
