@@ -22,8 +22,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BATCH = 32
-SIZE = 448
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+SIZE = int(os.environ.get("BENCH_SIZE", "448"))
 N_BOXES = 1
 N_CLASSES = 43
 WARMUP = 3

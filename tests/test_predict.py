@@ -1,0 +1,83 @@
+"""Predict-pipeline regression tests (CPU; the TPU path is exercised by
+scripts/smoke_e2e.sh).  Covers checkpoint restore, jit forward, the
+on-device decode -> host flattening, crops, and the zero-detection
+edge case that crashes naive implementations."""
+
+import numpy as np
+import pytest
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+    class_pred, dark_pred,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+    checkpoint as ckpt,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import Trainer
+
+
+def _mk_ckpt(params, tmp_path):
+    trainer = Trainer(params, verbose=False)
+    d = str(tmp_path)
+    ckpt.save_checkpoint(trainer.state_dict(1, None), is_best=False,
+                         checkpoint_dir=d)
+    return d
+
+
+@pytest.fixture
+def dark_params():
+    return Params(
+        model="darknet_r", n_classes=43, n_boxes=1, n_grid=2,
+        darknet_input=64, capsule_input=32, batch_size=4,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, dropout=0.0,
+        l_coord=5.0, l_noobj=0.5,
+    )
+
+
+def test_dark_pred_end_to_end(dark_params, tmp_path, rng):
+    d = _mk_ckpt(dark_params, tmp_path)
+    images = [
+        (rng.rand(100, 80, 3) * 255).astype(np.uint8),
+        (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+    ]
+    # untrained net: sigmoid confidences hover near 0.5 — use a low
+    # threshold so some boxes appear
+    y_hat, outputs = dark_pred(images, d, dark_params, "last",
+                               conf_th=0.2)
+    assert y_hat.shape == (2, 2, 2, 5 + 43)
+    assert len(outputs) == 2
+    assert outputs[0].shape == images[0].shape  # annotated copies
+
+    # crops path for the two-stage pipeline
+    y_hat, crops, idx, boxes = dark_pred(images, d, dark_params, "last",
+                                         is_end=False, conf_th=0.2)
+    assert crops.shape[1:] == (32, 32, 3)
+    assert crops.shape[0] == boxes.shape[0] == idx.shape[0]
+
+
+def test_dark_pred_zero_detections(dark_params, tmp_path, rng):
+    d = _mk_ckpt(dark_params, tmp_path)
+    images = [(rng.rand(64, 64, 3) * 255).astype(np.uint8)]
+    # conf_th just under 1.0: sigmoid can never exceed it
+    y_hat, crops, idx, boxes = dark_pred(images, d, dark_params, "last",
+                                         is_end=False, conf_th=0.999)
+    assert crops.shape == (0, 32, 32, 3)
+    assert idx.shape == (0,)
+
+
+def test_class_pred(tmp_path, rng):
+    p = Params(
+        model="cnn", n_classes=43, batch_size=8, dropout=0.0,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4,
+    )
+    d = _mk_ckpt(p, tmp_path)
+    x = rng.rand(5, 32, 32, 3).astype(np.float32)
+    y_hat, classes = class_pred(x, d, p, "last")
+    assert y_hat.shape == (5, 43)
+    assert classes.shape == (5,)
+
+    # zero-input contract (upstream empty detection)
+    y_hat0, cls0 = class_pred(np.zeros((0, 32, 32, 3)), d, p, "last")
+    assert y_hat0.shape == (0, 43) and cls0.shape == (0,)
