@@ -115,3 +115,26 @@ def test_darkcapsule_cell_f1(det_params):
     caps[0, 1, 1] = 0.5          # norm ~1.1 > 0.5 -> predicted present
     f1 = M.darkcapsule_cell_f1(y, caps, det_params)
     assert f1 > 0.999
+
+
+def test_detect_and_recog_mAP_perfect(det_params, rng, tmp_path):
+    y, y_hat = _perfect_pred(det_params, rng)
+    m = M.detect_and_recog_mAP(y, y_hat, det_params)
+    # perfect per-class boxes at conf .9; sweep tail (conf_th >= .9)
+    # drags AP below 1 but it must be high
+    assert m > 0.85
+
+
+def test_darkcapsule_acc_shapes(det_params, rng):
+    """Faithful port of metrics.py:342-370 (expects the 43-capsule
+    variant output (B, g, g, 43, 21))."""
+    g, C = det_params.n_grid, det_params.n_classes
+    y = np.zeros((2, g, g, 5 + C))
+    y[0, 1, 1, 0:5] = [1, 0.5, 0.5, 0.3, 0.3]
+    y[0, 1, 1, 5 + 7] = 1
+    caps = rng.rand(2, g, g, C, 21) * 0.1
+    # make class 7's capsule at the object cell dominant and aligned
+    caps[0, 1, 1, 7, 5:] = 0.9
+    caps[0, 1, 1, 7, :5] = [0.7, 0.35, 0.35, 0.21, 0.21]
+    out = M.darkcapsule_acc(y, caps, det_params)
+    assert np.isfinite(out)
