@@ -103,3 +103,16 @@ def test_plateau_semantics():
     assert s.lr == 1.0
     s.step(0.8)  # bad 3 > patience -> decay
     assert abs(s.lr - 0.1) < 1e-12
+
+
+def test_reproducible_training():
+    """Same seed => bit-identical training trajectory (functional RNG)."""
+    import numpy as np
+
+    losses = []
+    for _ in range(2):
+        np.random.seed(123)
+        p = _params("cnn", batch_size=8)
+        ls, _ = _run_epochs(p, n_epochs=2, n=16)
+        losses.append(ls)
+    assert losses[0] == losses[1]
