@@ -61,15 +61,16 @@ def main(sample_index=90, model_dir=None, restore_file="best"):
         lambda v, t: model.apply(v, t, method=model.decode))
 
     os.makedirs("img", exist_ok=True)
-    cv2.imwrite("img/orig.png",
-                np.asarray(xx[0]) * 128.0 + 128)
+    cv2.imwrite("img/orig.png", np.clip(
+        np.asarray(xx[0]) * 128.0 + 128, 0, 255).astype(np.uint8))
     cc = np.arange(11) * 0.05 - 0.25
     for v in range(16):
         for i, c in enumerate(cc):
             t_pert = t.copy()
             t_pert[v] += c
             decoded = decode(variables, jnp.asarray(t_pert[None]))
-            img = np.asarray(decoded)[0] * 128.0 + 128
+            img = np.clip(np.asarray(decoded)[0] * 128.0 + 128,
+                          0, 255).astype(np.uint8)
             cv2.imwrite(f"img/{v}-{i}.png", img)
     print("wrote img/{dim}-{step}.png sweeps")
 

@@ -51,8 +51,16 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
 
     image_hw = np.array([image.shape[0:2] for image in images])
     size = model_input_shape(params)[0]
-    x = np.stack([cv2.resize(im, (size, size)) for im in images]).astype(
-        np.float32)
+
+    x = None
+    if params.get("device_preprocess", False):
+        from .ops.preprocess import preprocess_images
+
+        x = preprocess_images(images, size)  # None if ragged shapes
+    if x is None:
+        x = np.stack(
+            [cv2.resize(im, (size, size)) for im in images]
+        ).astype(np.float32)
 
     y_hat = _batched_forward(step, variables, x, params.batch_size)
 

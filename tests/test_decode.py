@@ -3,6 +3,7 @@
 optional NMS extension."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import boxes as B
@@ -82,3 +83,23 @@ def test_nms_mask_suppresses_overlaps():
     valid = jnp.asarray(np.array([[True, True, True]]))
     keep = np.asarray(D.nms_mask(xy, conf, valid, iou_th=0.5))
     assert keep.tolist() == [[True, False, True]]
+
+
+def test_preprocess_batch_close_to_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops.preprocess import (
+        preprocess_images,
+    )
+
+    imgs = [(rng.rand(100, 120, 3) * 255).astype(np.uint8) for _ in range(2)]
+    ours = np.asarray(preprocess_images(imgs, 64))
+    ref = np.stack([cv2.resize(im, (64, 64)) for im in imgs]).astype(
+        np.float32)
+    # different bilinear rounding conventions: close, not identical
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).mean() < 8.0
+
+    # ragged shapes -> caller must fall back
+    assert preprocess_images(
+        [imgs[0], (rng.rand(50, 60, 3) * 255).astype(np.uint8)], 64) is None
