@@ -27,6 +27,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host initialization (DCN) — `jax.distributed.initialize`.
+
+    On single-host (this environment) it is a no-op.  On a multi-host
+    TPU pod slice, call before any jax op; afterwards `jax.devices()`
+    spans all hosts and the same `make_mesh`/`shard_*` helpers lay the
+    'data' axis across hosts (collectives ride ICI within a slice, DCN
+    across slices).  The per-host data loader should feed each process
+    its batch shard via `jax.make_array_from_process_local_data`.
+    """
+    import jax
+
+    if num_processes is None and coordinator_address is None:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Mesh over ('data', 'model').  Defaults to all devices on 'data'."""
