@@ -64,3 +64,11 @@ def test_cli_predict_requires_restore(tiny_model_dir, tmp_path):
     r = _run(["--model", "cnn", "--mode", "predict",
               "--model_dir", tiny_model_dir], cwd=str(tmp_path))
     assert "Must give restore file" in r.stdout
+
+
+def test_cli_overfit_mode(tiny_model_dir, tmp_path):
+    """Overfit mode: dataset absent -> synthetic small set, full loop."""
+    r = _run(["--model", "cnn", "--mode", "overfit", "--no_metric",
+              "--model_dir", tiny_model_dir], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "epoch 1" in r.stdout
