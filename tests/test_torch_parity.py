@@ -195,3 +195,44 @@ def test_capsulenet_forward_parity():
     our_scores = np.asarray(
         ours.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_darkcapsule_forward_parity():
+    """DarkCapsuleNet: conv stack + value-exact grid reshape + shared
+    routing; node order matches the reference exactly (no permutation
+    needed — see test_models.test_darkcapsule_grid_mapping)."""
+    import models as ref_models
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+        DarkCapsuleNet,
+    )
+
+    p = _RefParams()
+    p.n_grid = 2
+    torch.manual_seed(0)
+    ref = ref_models.DarkCapsuleNet(p)
+    ref.eval()
+
+    ours = DarkCapsuleNet(n_grid=2)
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"])
+    for i in range(1, 6):
+        conv = getattr(ref.conv, f"conv_{i}")
+        params[f"block_{i}"][f"conv_{i}"]["kernel"] = _conv_kernel(conv.weight)
+        params[f"block_{i}"][f"conv_{i}"]["bias"] = _t2j(conv.bias)
+        _bn(params[f"block_{i}"][f"bn_{i}"],
+            stats[f"block_{i}"][f"bn_{i}"], getattr(ref.conv, f"bn_{i}"))
+    params["traffic_sign_capsules"]["route_weights"] = _t2j(
+        ref.traffic_sign_capsules.route_weights[0])
+    variables = {"params": params, "batch_stats": stats}
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    our_out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+    assert our_out.shape == ref_out.shape == (2, 2, 2, 5)
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
