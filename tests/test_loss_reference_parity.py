@@ -1,0 +1,87 @@
+"""Loss parity vs the reference's OWN loss functions (executed from
+/root/reference with torch), on identical inputs."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+import jax.numpy as jnp
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu import losses as L
+from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+
+
+@pytest.fixture
+def ref_losses():
+    import importlib
+
+    return importlib.import_module("loss_fns")
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a))
+
+
+def test_cnn_loss_vs_reference(rng, ref_losses):
+    scores = rng.randn(8, 43)
+    y = rng.randint(0, 43, 8)
+    cfg = L.LossConfig(n_classes=43)
+    ours, _ = L.cnn_loss(jnp.asarray(scores), jnp.asarray(y), cfg)
+    theirs = ref_losses.cnn_loss(_t(scores), _t(y), None)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-10)
+
+
+def test_capsule_loss_vs_reference(rng, ref_losses):
+    scores = rng.rand(8, 43)
+    y = rng.randint(0, 43, 8)
+    x = rng.randn(8, 3, 32, 32)       # reference uses NCHW; sums are
+    recon = rng.randn(8, 3, 32, 32)   # layout-invariant
+    p = Params(n_classes=43, device="cpu", recon=True, recon_coef=5e-4)
+    cfg = L.LossConfig(n_classes=43, recon=True, recon_coef=5e-4)
+    ours, _ = L.capsule_loss(jnp.asarray(scores), jnp.asarray(y), cfg,
+                             jnp.asarray(x), jnp.asarray(recon))
+    theirs = ref_losses.capsule_loss(_t(scores), _t(y), p, _t(x), _t(recon))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-10)
+
+
+def test_dark_loss_vs_reference(rng, ref_losses):
+    g, B, C, bs, img = 4, 2, 43, 3, 64
+    y_pred = rng.rand(bs, g, g, 5 * B + C) * 0.8 + 0.1
+    y_true = np.zeros((bs, g, g, 5 + C))
+    for i in range(bs):
+        for _ in range(2):
+            r, c = rng.randint(0, g, 2)
+            y_true[i, r, c, 0:5] = [1, rng.rand(), rng.rand(),
+                                    rng.rand() * 0.3 + 0.05,
+                                    rng.rand() * 0.3 + 0.05]
+            y_true[i, r, c, 5:] = 0
+            y_true[i, r, c, 5 + rng.randint(C)] = 1
+
+    p = Params(n_classes=C, n_boxes=B, n_grid=g, darknet_input=img,
+               l_coord=5.0, l_noobj=0.5, device="cpu")
+    cfg = L.LossConfig(n_classes=C, n_boxes=B, n_grid=g, darknet_input=img,
+                       l_coord=5.0, l_noobj=0.5)
+    ours, aux = L.dark_loss(jnp.asarray(y_pred), jnp.asarray(y_true), cfg)
+    theirs = ref_losses.dark_loss(_t(y_pred), _t(y_true), p)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-8)
+    # the reference reports avg_iou via a params side channel
+    np.testing.assert_allclose(float(aux["avg_iou"]), float(p.avg_iou),
+                               rtol=1e-6)
+
+
+def test_darkcapsule_loss_vs_reference(rng, ref_losses):
+    g, bs, C = 4, 3, 43
+    caps = rng.randn(bs, g, g, 5) * 0.3
+    y = np.zeros((bs, g, g, 5 + C))
+    y[:, 1, 2, 0:5] = [1, 0.3, 0.7, 0.2, 0.4]
+
+    p = Params(n_classes=C, n_grid=g, recon=False, device="cpu")
+    cfg = L.LossConfig(n_classes=C, n_grid=g, recon=False)
+    ours, _ = L.darkcapsule_loss(jnp.asarray(caps), jnp.asarray(y), cfg)
+    theirs = ref_losses.darkcapsule_loss(_t(caps), _t(y), p)
+    # libm vs XLA sin/cos differ at ~1e-9 rel
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-7)
