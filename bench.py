@@ -34,6 +34,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def tpu_available(timeout_s=900):
+    """Probe the TPU backend in a bounded subprocess.
+
+    The tunneled backend can wedge for very long times ('backend
+    setup/compile error (Unavailable)'); probing in-process would hang
+    this benchmark unboundedly.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print('ok', float(jnp.sum(jnp.ones((8,8)))))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return p.returncode == 0 and "ok" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bench_tpu(dtype="float32"):
     import jax
     import jax.numpy as jnp
@@ -171,7 +191,22 @@ def bench_reference_cpu(n_images=4):
 
 
 def main():
+    global BATCH, ITERS, WARMUP
+
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    metric = "gtsdb_e2e_inference_throughput"
+
+    if os.environ.get("BENCH_FORCE_CPU") or not tpu_available():
+        # TPU pool unavailable (tunnel outage): measure the same
+        # compiled pipeline on CPU so the ratio vs the reference stays
+        # meaningful, and label the metric accordingly.
+        log("[bench] TPU unavailable -> CPU fallback measurement")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        BATCH, ITERS, WARMUP = 2, 2, 1
+        metric = "gtsdb_e2e_inference_throughput_cpu_fallback"
+
     ips = bench_tpu(dtype)
     if os.environ.get("BENCH_BOTH"):
         ips_bf16 = bench_tpu("bfloat16")
@@ -179,7 +214,7 @@ def main():
     base = bench_reference_cpu()
     vs = (ips / base) if base else -1.0
     print(json.dumps({
-        "metric": "gtsdb_e2e_inference_throughput",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2),
