@@ -85,3 +85,55 @@ def test_darkcapsule_loss_vs_reference(rng, ref_losses):
     theirs = ref_losses.darkcapsule_loss(_t(caps), _t(y), p)
     # libm vs XLA sin/cos differ at ~1e-9 rel
     np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-7)
+
+
+def test_dark_loss_grad_vs_reference(rng, ref_losses):
+    """d(loss)/d(y_pred) of the masked fixed-shape rewrite matches
+    torch autograd through the reference's gather-based loss —
+    including the detached IoU/conf-target semantics."""
+    g, B, C, bs, img = 4, 2, 43, 2, 64
+    y_pred = rng.rand(bs, g, g, 5 * B + C) * 0.8 + 0.1
+    y_true = np.zeros((bs, g, g, 5 + C))
+    for i in range(bs):
+        r, c = rng.randint(0, g, 2)
+        y_true[i, r, c, 0:5] = [1, rng.rand(), rng.rand(),
+                                rng.rand() * 0.3 + 0.05,
+                                rng.rand() * 0.3 + 0.05]
+        y_true[i, r, c, 5 + rng.randint(C)] = 1
+
+    p = Params(n_classes=C, n_boxes=B, n_grid=g, darknet_input=img,
+               l_coord=5.0, l_noobj=0.5, device="cpu")
+    cfg = L.LossConfig(n_classes=C, n_boxes=B, n_grid=g, darknet_input=img,
+                       l_coord=5.0, l_noobj=0.5)
+
+    t_pred = _t(y_pred).requires_grad_(True)
+    ref_loss = ref_losses.dark_loss(t_pred, _t(y_true), p)
+    ref_loss.backward()
+    ref_grad = t_pred.grad.numpy()
+
+    import jax
+
+    our_grad = jax.grad(
+        lambda yp: L.dark_loss(yp, jnp.asarray(y_true), cfg)[0]
+    )(jnp.asarray(y_pred))
+    np.testing.assert_allclose(np.asarray(our_grad), ref_grad,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_capsule_loss_grad_vs_reference(rng, ref_losses):
+    scores = rng.rand(8, 43)
+    y = rng.randint(0, 43, 8)
+    p = Params(n_classes=43, device="cpu", recon=False, recon_coef=5e-4)
+    cfg = L.LossConfig(n_classes=43, recon=False)
+
+    t_scores = _t(scores).requires_grad_(True)
+    ref_loss = ref_losses.capsule_loss(t_scores, _t(y), p)
+    ref_loss.backward()
+
+    import jax
+
+    our_grad = jax.grad(
+        lambda s: L.capsule_loss(s, jnp.asarray(y), cfg)[0]
+    )(jnp.asarray(scores))
+    np.testing.assert_allclose(np.asarray(our_grad),
+                               t_scores.grad.numpy(), rtol=1e-9)
