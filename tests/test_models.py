@@ -112,3 +112,15 @@ def test_darknet_freeze_mask():
     assert all(
         "conv_19" not in "/".join(str(k.key) for k in p) for p in frozen)
     assert len(frozen) > 30
+
+
+def test_darkcapsule2_shapes():
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+        DarkCapsuleNet2,
+    )
+
+    # 5 stride-2 convs: 224 -> 7; fixed 16*7*7 routing nodes
+    x = jnp.zeros((1, 224, 224, 3))
+    model = DarkCapsuleNet2(n_grid=7, n_classes=43)
+    _, caps = _init_and_apply(model, x)
+    assert caps.shape == (1, 7, 7, 5 + 43)
