@@ -116,3 +116,17 @@ def test_reproducible_training():
         ls, _ = _run_epochs(p, n_epochs=2, n=16)
         losses.append(ls)
     assert losses[0] == losses[1]
+
+
+def test_device_data_path_matches_host_path():
+    """The HBM-resident gather path consumes the same RNG stream and
+    produces bit-identical losses to the host batching path."""
+    import numpy as np
+
+    traces = []
+    for device_data in (True, False):
+        np.random.seed(7)
+        p = _params("cnn", batch_size=8, device_data=device_data)
+        losses, _ = _run_epochs(p, n_epochs=2, n=24)
+        traces.append(losses)
+    assert traces[0] == traces[1]
