@@ -19,7 +19,6 @@ where cfg is a `LossConfig` of static floats/ints (hashable for jit).
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,13 +90,12 @@ def dark_loss(y_pred, y_true, cfg: LossConfig, x=None, recon=None):
     Reference parity: loss_fns.py:60-142.  Per object cell the
     responsible box is the one of the B predictions with max IoU
     against the target (both converted to a shared grid-scaled corner
-    frame, utils.py:353-371); losses:
+    frame, utils.py:353-371, fully detached); losses:
       * responsible pc -> (pc - iou)^2,
-      * xy L2 and (sqrt w/h) L2 with weight l_coord,
-      * non-responsible + no-object pc^2 with weight l_noobj (the
-        non-responsible term enters UNweighted in the reference's
-        noobj_loss_pc accumulation — wait, it is added to noobj sum and
-        later scaled by l_noobj; we reproduce exactly that),
+      * xy L2 and (sqrt w / sqrt h) L2 with weight l_coord,
+      * pc^2 of no-object cells AND non-responsible boxes in object
+        cells, both accumulated into one term scaled by l_noobj
+        (loss_fns.py:87-89, :113-114),
       * class L2 on object cells;
     total divided by batch size.
     """

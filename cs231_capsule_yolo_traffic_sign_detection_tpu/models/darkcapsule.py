@@ -19,7 +19,6 @@ experiments/darkcapsule/params.json says 448 (broken there) — we
 resolve to 224; see COMPAT.md.
 """
 
-import jax.numpy as jnp
 import flax.linen as nn
 
 from .capsule_net import CapsuleRouting, PrimaryCapsules

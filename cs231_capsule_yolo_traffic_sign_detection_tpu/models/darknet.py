@@ -13,8 +13,6 @@ kernels, which is exactly the flax layout — no permute needed (the
 reference had to permute to OIHW).
 """
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
