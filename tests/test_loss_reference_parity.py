@@ -137,3 +137,31 @@ def test_capsule_loss_grad_vs_reference(rng, ref_losses):
     )(jnp.asarray(scores))
     np.testing.assert_allclose(np.asarray(our_grad),
                                t_scores.grad.numpy(), rtol=1e-9)
+
+
+def test_darkcapsule2_loss_vs_reference(rng, ref_losses):
+    g, bs, C = 4, 2, 43
+    caps = rng.randn(bs, g, g, 5 + C) * 0.2
+    y = np.zeros((bs, g, g, 5 + C))
+    y[:, 2, 1, 0:5] = [1, 0.4, 0.6, 0.3, 0.2]
+    y[:, 2, 1, 5 + 3] = 1
+
+    p = Params(n_classes=C, n_grid=g, device="cpu")
+    cfg = L.LossConfig(n_classes=C, n_grid=g)
+    ours, _ = L.darkcapsule2_loss(jnp.asarray(caps), jnp.asarray(y), cfg)
+    theirs = ref_losses.darkcapsule2_loss(_t(caps), _t(y), p)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-7)
+
+
+def test_darkcapsule3_loss_vs_reference(rng, ref_losses):
+    g, bs, C = 4, 2, 43
+    caps = rng.randn(bs, g, g, C, 21) * 0.2
+    y = np.zeros((bs, g, g, 5 + C))
+    y[:, 2, 1, 0:5] = [1, 0.4, 0.6, 0.3, 0.2]
+    y[:, 2, 1, 5 + 3] = 1
+
+    p = Params(n_classes=C, n_grid=g, recon=False, device="cpu")
+    cfg = L.LossConfig(n_classes=C, n_grid=g, recon=False)
+    ours, _ = L.darkcapsule3_loss(jnp.asarray(caps), jnp.asarray(y), cfg)
+    theirs = ref_losses.darkcapsule3_loss(_t(caps), _t(y), p)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-7)
