@@ -35,7 +35,11 @@ def _fake_gtsrb(root, n_classes=3, per_class=12):
             name = f"{i:05d}_{0:05d}.ppm"
             im = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
             cv2.imwrite(os.path.join(d, name), im)
-            rows.append(f"{name};40;40;2;2;38;38;{c}")
+            # varying ROI sizes: the reference's per-class np.array(x)
+            # must stay an object array (its .tolist() would otherwise
+            # hand plain nested lists to cv2.resize)
+            x2 = 30 + (i % 8)
+            rows.append(f"{name};40;40;2;2;{x2};{x2};{c}")
         with open(os.path.join(d, f"GT-{format(c, '05d')}.csv"), "w") as f:
             f.write("\n".join(rows) + "\n")
 
@@ -93,3 +97,11 @@ def test_gtsdb_builder(tmp_path):
     # names index saved for predict mode
     assert os.path.exists(root + "/train_names.npy")
     assert os.path.exists(root + "/test_X.npy")
+
+
+# NOTE: a direct artifact-parity test vs the reference's gtsrb() is not
+# possible in this environment: the reference builder depends on
+# numpy<1.24 semantics (np.int, and np.array() of ragged crop lists
+# auto-becoming object arrays) and raises under numpy 2.x.  Builder
+# semantics are instead pinned by the structural assertions above and
+# the box-geometry parity tests (test_boxes_reference_parity.py).
