@@ -37,6 +37,7 @@ class PrimaryCapsules(nn.Module):
     out_c: int = 16
     kernel: int = 8
     stride: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,7 +47,10 @@ class PrimaryCapsules(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=0,
+            dtype=self.dtype,
         )
+        if self.dtype is not None:
+            y = y.astype(jnp.float32)  # squash/routing always f32
         b, h, w, _ = y.shape
         y = y.reshape(b, h * w, self.n_caps, self.out_c)
         y = y.transpose(0, 1, 3, 2).reshape(b, h * w * self.out_c, self.n_caps)
@@ -85,15 +89,17 @@ class CapsuleRouting(nn.Module):
 class CapsuleNet(nn.Module):
     n_classes: int = 43
     routing_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None  # convs/decoder only; routing is f32
 
     def setup(self):
         self.conv1 = nn.Conv(
             256, (9, 9), padding="VALID",
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(3 * 9 * 9),
+            dtype=self.dtype,
             name="conv1",
         )
-        self.primary_capsules = PrimaryCapsules()
+        self.primary_capsules = PrimaryCapsules(dtype=self.dtype)
         self.traffic_sign_capsules = CapsuleRouting(
             n_caps=self.n_classes,
             n_nodes=16 * 9 * 9,
@@ -101,7 +107,7 @@ class CapsuleNet(nn.Module):
             out_c=16,
             impl=self.routing_impl,
         )
-        self.decoder = ReconDecoder()
+        self.decoder = ReconDecoder(dtype=self.dtype)
 
     def __call__(self, x, y: Optional[jax.Array] = None, recon: bool = False,
                  train: bool = False):

@@ -7,7 +7,10 @@ n_classes.  NHWC; the flatten order differs from torch's CHW flatten
 class, irrelevant without weight porting).
 """
 
+from typing import Optional
+
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import torch_conv, torch_dense
@@ -16,17 +19,21 @@ from .layers import torch_conv, torch_dense
 class ConvNet(nn.Module):
     n_classes: int = 43
     dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for feats in (64, 128):
-            x = torch_conv(x, feats, (3, 3), padding=1)
+            x = torch_conv(x, feats, (3, 3), padding=1, dtype=self.dtype)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(x)
             x = jax.nn.leaky_relu(x, 0.01)  # torch LeakyReLU default slope
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
-        x = torch_dense(x, 128)
+        x = torch_dense(x, 128, dtype=self.dtype)
         x = jax.nn.relu(x)
-        return torch_dense(x, self.n_classes)
+        out = torch_dense(x, self.n_classes, dtype=self.dtype)
+        if self.dtype is not None:
+            out = out.astype(jnp.float32)  # CE loss is full-precision
+        return out

@@ -19,6 +19,9 @@ experiments/darkcapsule/params.json says 448 (broken there) — we
 resolve to 224; see COMPAT.md.
 """
 
+from typing import Optional
+
+import jax.numpy as jnp
 import flax.linen as nn
 
 from .capsule_net import CapsuleRouting, PrimaryCapsules
@@ -45,6 +48,7 @@ def _grid_capsules(x, n_grid):
 class DarkCapsuleNet(nn.Module):
     n_grid: int = 7
     routing_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None  # conv stack only; routing is f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,7 +66,7 @@ class DarkCapsuleNet(nn.Module):
             x = ConvBNLeaky(
                 feats, kernel=(k, k), strides=s, padding=1, use_bias=True,
                 negative_slope=0.1, bn_momentum=0.9, name_idx=i,
-                name=f"block_{i}",
+                name=f"block_{i}", dtype=self.dtype,
             )(x, train=train)
 
         # NOTE: the reference feeds raw conv features into routing with
@@ -86,6 +90,7 @@ class DarkCapsuleNet2(nn.Module):
     n_classes: int = 43
     dropout: float = 0.0
     routing_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -96,6 +101,7 @@ class DarkCapsuleNet2(nn.Module):
                 feats, kernel=(4, 4), strides=(2, 2), padding=1,
                 use_bias=True, negative_slope=0.1, bn_momentum=0.9,
                 dropout=self.dropout, name_idx=i, name=f"block_{i}",
+                dtype=self.dtype,
             )(x, train=train)
         x = PrimaryCapsules(n_caps=8, out_c=16, kernel=1, stride=1)(x)
         caps = CapsuleRouting(
@@ -113,6 +119,7 @@ class DarkCapsuleNet3(nn.Module):
     n_grid: int = 7
     n_classes: int = 43
     routing_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,7 +136,7 @@ class DarkCapsuleNet3(nn.Module):
             x = ConvBNLeaky(
                 feats, kernel=(k, k), strides=s, padding=1, use_bias=True,
                 negative_slope=0.1, bn_momentum=0.9, name_idx=i,
-                name=f"block_{i}",
+                name=f"block_{i}", dtype=self.dtype,
             )(x, train=train)
         nodes = _grid_capsules(x, g)
         caps = CapsuleRouting(

@@ -13,6 +13,8 @@ kernels, which is exactly the flax layout — no permute needed (the
 reference had to permute to OIHW).
 """
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,9 +51,12 @@ class DarkNet(nn.Module):
     n_boxes: int = 2
     n_classes: int = 0
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (feats, k, after) in enumerate(DARKNET_LAYERS, start=1):
             x = ConvBNLeaky(
                 feats,
@@ -63,6 +68,7 @@ class DarkNet(nn.Module):
                 dropout=self.dropout if after == "drop" else 0.0,
                 name_idx=i,
                 name=f"block_{i}",
+                dtype=self.dtype,
             )(x, train=train)
             if after == "mp":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -70,8 +76,10 @@ class DarkNet(nn.Module):
         split = 5 * self.n_boxes
         out = torch_conv(
             x, split + self.n_classes, (1, 1), padding=0, use_bias=False,
-            name="conv_19",
+            name="conv_19", dtype=self.dtype,
         )
+        if self.dtype is not None:
+            out = out.astype(jnp.float32)  # heads + loss in f32 always
 
         y_box = jax.nn.sigmoid(out[..., :split])
         if self.n_classes == 0:

@@ -16,8 +16,14 @@ from .init import torch_kernel_init, torch_bias_init
 
 
 def torch_conv(x, features, kernel: Tuple[int, int], strides=(1, 1),
-               padding: int = 0, use_bias: bool = True, name=None):
-    """nn.Conv with torch-default init and explicit symmetric padding."""
+               padding: int = 0, use_bias: bool = True, name=None,
+               dtype=None):
+    """nn.Conv with torch-default init and explicit symmetric padding.
+
+    `dtype` is the computation dtype (bf16 under the mixed-precision
+    policy — MXU native); params stay f32 (flax param_dtype default),
+    so master weights / Adam moments are full precision.
+    """
     fan_in = kernel[0] * kernel[1] * x.shape[-1]
     return nn.Conv(
         features,
@@ -27,15 +33,17 @@ def torch_conv(x, features, kernel: Tuple[int, int], strides=(1, 1),
         use_bias=use_bias,
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init(fan_in),
+        dtype=dtype,
         name=name,
     )(x)
 
 
-def torch_dense(x, features, name=None):
+def torch_dense(x, features, name=None, dtype=None):
     return nn.Dense(
         features,
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init(x.shape[-1]),
+        dtype=dtype,
         name=name,
     )(x)
 
@@ -59,13 +67,18 @@ class ConvBNLeaky(nn.Module):
     bn_momentum: float = 0.99
     dropout: float = 0.0
     name_idx: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         suffix = f"_{self.name_idx}" if self.name_idx is not None else ""
         x = torch_conv(x, self.features, self.kernel, self.strides,
                        self.padding, use_bias=self.use_bias,
-                       name=f"conv{suffix}")
+                       name=f"conv{suffix}", dtype=self.dtype)
+        # BatchNorm dtype left unset: a bf16 conv output promotes with
+        # the f32 scale/bias to f32, so normalization statistics and
+        # running stats stay full precision under the bf16 policy (only
+        # the MXU matmuls run bf16)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -83,18 +96,23 @@ class ReconDecoder(nn.Module):
 
     dense 16->256, unflatten to (4,4,16), then 3x (nearest-neighbor
     upsample + 3x3 conv + relu) and a final 3-channel tanh conv.
-    NHWC throughout; output (B, 32, 32, 3).
+    NHWC throughout; output (B, 32, 32, 3) in f32 (the reconstruction
+    MSE is computed full-precision regardless of compute dtype).
     """
+
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, t):
         b = t.shape[0]
-        x = torch_dense(t, 16 * 4 * 4)
+        x = torch_dense(t, 16 * 4 * 4, dtype=self.dtype)
         x = jax.nn.relu(x)
         x = x.reshape(b, 16, 4, 4).transpose(0, 2, 3, 1)  # CHW view -> NHWC
         for size, feat in ((8, 4), (16, 8), (32, 16)):
             x = jax.image.resize(x, (b, size, size, x.shape[-1]), "nearest")
-            x = torch_conv(x, feat, (3, 3), padding=1)
+            x = torch_conv(x, feat, (3, 3), padding=1, dtype=self.dtype)
             x = jax.nn.relu(x)
-        x = torch_conv(x, 3, (3, 3), padding=1)
+        x = torch_conv(x, 3, (3, 3), padding=1, dtype=self.dtype)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)
         return jnp.tanh(x)

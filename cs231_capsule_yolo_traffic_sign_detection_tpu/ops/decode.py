@@ -21,8 +21,14 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n_classes", "n_boxes", "max_boxes", "img_size"))
-def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=128, conf_th=0.5):
+def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=None, conf_th=0.5):
     """Decode (batch, g, g, 5B+C) into fixed-size per-image box lists.
+
+    max_boxes defaults to ALL g*g*B candidates so no above-threshold
+    box is ever silently dropped (the reference returns every one,
+    utils.py:288-334).  Pass a smaller static cap only when the caller
+    can bound detections (e.g. benchmarking) — and then it is an
+    explicit, visible choice.
 
     Returns dict of device arrays:
       conf:    (batch, max_boxes) confidence, descending.
@@ -36,6 +42,8 @@ def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=128, conf_th=0.5):
     batch, g, _, D = y.shape
     B, C = n_boxes, n_classes
     assert D == 5 * B + C, (D, B, C)
+    if max_boxes is None:
+        max_boxes = g * g * B
 
     yb = y[..., : 5 * B].reshape(batch, g, g, B, 5)
     conf = yb[..., 0]                                   # (batch,g,g,B)

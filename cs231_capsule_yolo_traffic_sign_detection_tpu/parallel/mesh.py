@@ -35,8 +35,8 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     TPU pod slice, call before any jax op; afterwards `jax.devices()`
     spans all hosts and the same `make_mesh`/`shard_*` helpers lay the
     'data' axis across hosts (collectives ride ICI within a slice, DCN
-    across slices).  The per-host data loader should feed each process
-    its batch shard via `jax.make_array_from_process_local_data`.
+    across slices).  Per-host data then flows through
+    `global_batch_from_process_local` below.
     """
     import jax
 
@@ -47,6 +47,89 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def process_batch_slice(n_global: int, process_index=None, process_count=None):
+    """Row range [lo, hi) of the global batch owned by this process.
+
+    Multi-host data loading (SURVEY.md §7.9): each host loads only its
+    contiguous slice of the global batch; `global_batch_from_process_local`
+    assembles the sharded global array from those slices without any
+    cross-host data movement (addressable shards only).
+    """
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per, rem = divmod(n_global, pc)
+    lo = pi * per + min(pi, rem)
+    hi = lo + per + (1 if pi < rem else 0)
+    return lo, hi
+
+
+def global_batch_from_process_local(local_batch, mesh: Mesh, n_global=None):
+    """Assemble a globally batch-sharded array from per-process rows.
+
+    `local_batch` holds only this process's rows (see
+    `process_batch_slice`).  Uses `jax.make_array_from_process_local_data`,
+    which places each host's rows on its own addressable devices of the
+    'data' axis — the idiomatic multi-host input path (no host ever
+    materializes the global batch).  Single-process: equivalent to
+    `shard_batch`.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+        local_batch,
+    )
+
+
+def parse_mesh_spec(spec, n_local: Optional[int] = None):
+    """Parse the CLI --mesh spec into (n_data, n_model) or None.
+
+    Grammar:
+      'off' | 'none' | '1'      -> None (single-device, reference behavior)
+      'auto'                    -> all local devices on 'data' when >1,
+                                   else None
+      'data=N[,model=M]'        -> explicit axis sizes
+    """
+    if spec is None:
+        return None
+    spec = str(spec).strip().lower()
+    if spec in ("off", "none", "1", ""):
+        return None
+    if n_local is None:
+        n_local = len(jax.devices())
+    if spec == "auto":
+        return (n_local, 1) if n_local > 1 else None
+    n_data, n_model = None, 1
+    for part in spec.split(","):
+        key, _, val = part.partition("=")
+        key, val = key.strip(), val.strip()
+        if key == "data":
+            n_data = int(val)
+        elif key == "model":
+            n_model = int(val)
+        else:
+            raise ValueError(f"bad --mesh spec {spec!r} (part {part!r})")
+    if n_data is None:
+        raise ValueError(f"--mesh spec {spec!r} needs data=N")
+    if n_data * n_model > n_local:
+        raise ValueError(
+            f"--mesh {spec!r} wants {n_data * n_model} devices, "
+            f"only {n_local} available")
+    if n_data == 1 and n_model == 1:
+        return None
+    return (n_data, n_model)
+
+
+def maybe_make_mesh(spec) -> Optional[Mesh]:
+    """CLI spec -> Mesh, or None when single-device suffices."""
+    parsed = parse_mesh_spec(spec)
+    if parsed is None:
+        return None
+    n_data, n_model = parsed
+    return make_mesh(n_data=n_data, n_model=n_model)
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -73,11 +156,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def routing_param_spec(path) -> P:
     """PartitionSpec for a param leaf: shard capsule routing weights
-    (n_nodes, n_caps, in_c, out_c) over 'model' on the n_nodes axis —
-    the routing contraction dimension (1296 nodes for CapsuleNet),
+    (n_nodes, n_caps, in_c, out_c) over 'model' on axis 0 — n_nodes,
+    the routing contraction dimension (1296 nodes for CapsuleNet) —
     so the weighted node-sum becomes a sharded partial sum and XLA
-    inserts the psum over 'model'.  (The caps axis is 43 — prime — and
-    cannot be evenly device_put-sharded.)  Everything else replicated."""
+    inserts the psum over 'model'.  The n_caps axis would be the other
+    candidate, but it is 43 (prime) and cannot be evenly sharded.
+    Everything else replicated."""
     keys = [str(getattr(p, "key", "")) for p in path]
     if keys and keys[-1] == "route_weights":
         return P("model", None, None, None)
@@ -110,3 +194,24 @@ def shard_batch(batch, mesh: Mesh):
     """device_put arrays sharded along the leading batch axis."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def place_batch(batch, mesh: Mesh):
+    """Shard a batch when its size divides the 'data' axis, else replicate.
+
+    The driver's np.array_split batching (reference main.py:45-48)
+    produces a ragged tail when the dataset size is not a multiple of
+    batch_size; replicating that tail keeps the numerics byte-identical
+    to single-device (the compiled step is sharding-agnostic) at the
+    cost of duplicated tail compute — no padding, no masked-loss
+    surgery.
+    """
+    n_data = mesh.shape["data"]
+    sharded = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def put(a):
+        sh = sharded if a.shape[0] % n_data == 0 else repl
+        return jax.device_put(a, sh)
+
+    return jax.tree_util.tree_map(put, batch)

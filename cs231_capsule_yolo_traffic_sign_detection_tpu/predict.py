@@ -11,28 +11,62 @@ reference runs decode in numpy per batch (predict_fns.py:46).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from flax import serialization
 
 from . import viz
+from .losses import LossConfig
+from .models import build_model
 from .ops import decode as decode_ops
+from .parallel import mesh as par
 from .train import checkpoint as ckpt
-from .train.driver import Trainer, model_input_shape
-from .train.steps import make_predict_step
+from .train.driver import model_input_shape
+from .train.steps import init_variables, make_predict_step
 
 
 def restore_variables(params, model_dir, restore_file):
-    """Build the model and restore its variables from last/best.ckpt."""
-    trainer = Trainer(params, verbose=False)
+    """Build the model and restore its variables from last/best.ckpt.
+
+    Weights only — no optimizer moments are ever built (the reference's
+    predict path also restores the model alone, predict_fns.py:32-34),
+    and the model is traced once (init) instead of twice (init + first
+    train step) as the old Trainer-based restore did.
+    """
+    model = build_model(params)
+    needs_labels = (
+        params.model == "capsule" and LossConfig.from_params(params).recon
+    )
+    variables, _ = init_variables(
+        model, model_input_shape(params), seed=int(params.get("seed", 0)),
+        batch_size=2, needs_labels=needs_labels)
     restore_path = ckpt.checkpoint_path(model_dir, restore_file)
     print("Restoring parameters from {}".format(restore_path))
-    trainer.restore(restore_path, model_dir, params.get("train_frac", 1))
-    return trainer.model, trainer.state.variables
+    fallbacks = [model_dir + str(params.get("train_frac", 1))]
+    raw = ckpt.load_checkpoint(restore_path, target=None,
+                               fallback_dirs=fallbacks)
+    # the checkpoint serializes the full TrainState; deserialize only
+    # the weight collections against the freshly-initialized template
+    template = {"params": variables["params"]}
+    saved = {"params": raw["state"]["params"]}
+    if "batch_stats" in variables and variables.get("batch_stats"):
+        template["batch_stats"] = variables["batch_stats"]
+        saved["batch_stats"] = raw["state"]["batch_stats"]
+    restored = serialization.from_state_dict(template, saved)
+
+    mesh = par.maybe_make_mesh(params.get("mesh", "off"))
+    if mesh is not None:  # replicate weights across the mesh for predict
+        restored = jax.device_put(restored, par.replicated_sharding(mesh))
+    return model, restored, mesh
 
 
-def _batched_forward(step, variables, x, batch_size):
+def _batched_forward(step, variables, x, batch_size, mesh=None):
     outs = []
     for i in range(0, x.shape[0], batch_size):
-        outs.append(np.asarray(step(variables, x[i : i + batch_size])))
+        xb = x[i : i + batch_size]
+        if mesh is not None:
+            xb = par.place_batch(jnp.asarray(xb), mesh)
+        outs.append(np.asarray(step(variables, xb)))
     return np.concatenate(outs, axis=0)
 
 
@@ -46,7 +80,7 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     """
     import cv2
 
-    model, variables = restore_variables(params, model_dir, restore_file)
+    model, variables, mesh = restore_variables(params, model_dir, restore_file)
     step = make_predict_step(model)
 
     image_hw = np.array([image.shape[0:2] for image in images])
@@ -62,8 +96,11 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
             [cv2.resize(im, (size, size)) for im in images]
         ).astype(np.float32)
 
-    y_hat = _batched_forward(step, variables, x, params.batch_size)
+    y_hat = _batched_forward(step, variables, x, params.batch_size, mesh)
 
+    # max_boxes defaults to ALL g*g*B candidates: the reference returns
+    # every above-threshold box (utils.py:288-334), so a smaller static
+    # cap would silently drop detections in dense scenes
     decoded = decode_ops.decode_grid(
         jnp.asarray(y_hat),
         n_classes=params.n_classes,
@@ -118,9 +155,9 @@ def class_pred(x, model_dir, params, restore_file):
     if x.shape[0] == 0:  # zero crops from an upstream empty detection
         y_hat = np.zeros((0, params.n_classes), np.float32)
         return y_hat, np.zeros((0,), np.int64)
-    model, variables = restore_variables(params, model_dir, restore_file)
+    model, variables, mesh = restore_variables(params, model_dir, restore_file)
     step = make_predict_step(model)
-    y_hat = _batched_forward(step, variables, x, params.batch_size)
+    y_hat = _batched_forward(step, variables, x, params.batch_size, mesh)
     return y_hat, np.argmax(y_hat, axis=1)
 
 

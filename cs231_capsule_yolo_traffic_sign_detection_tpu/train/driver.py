@@ -25,6 +25,7 @@ from ..losses import LossConfig
 from ..metrics import METRIC_REGISTRY
 from ..models import build_model
 from ..models.darknet import load_darknet19_npz, darknet_freeze_mask
+from ..parallel import mesh as par
 from . import checkpoint as ckpt
 from .plateau import ReduceLROnPlateau
 from .steps import init_state, make_train_step, make_eval_step
@@ -82,6 +83,26 @@ class Trainer:
             if fine_tune > 0:
                 freeze_mask = darknet_freeze_mask(self.state.params, fine_tune)
 
+        # --mesh: multi-device placement (new infrastructure; the
+        # reference is single-device, main.py:231).  The compiled steps
+        # are sharding-agnostic, so engaging the mesh is purely a matter
+        # of where state and batches are device_put: params replicated
+        # (routing weights optionally tensor-sharded over 'model'),
+        # batches sharded over 'data'; XLA inserts the gradient psum.
+        self.mesh = par.maybe_make_mesh(params.get("mesh", "off"))
+        self._shard_routing = (
+            self.mesh is not None
+            and self.mesh.shape["model"] > 1
+            and self.model_name in ("capsule", "darkcapsule")
+        )
+        if self.mesh is not None:
+            self.state = par.shard_state(
+                self.state, self.mesh, shard_routing=self._shard_routing)
+            if verbose:
+                print("[mesh] data={} model={} (routing sharded: {})".format(
+                    self.mesh.shape["data"], self.mesh.shape["model"],
+                    self._shard_routing))
+
         self.train_step = make_train_step(
             self.model, self.model_name, self.loss_cfg,
             freeze_mask=freeze_mask,
@@ -104,8 +125,22 @@ class Trainer:
         if key not in self._data_cache:
             for stale in [k for k in self._data_cache if k[0] == tag]:
                 del self._data_cache[stale]
-            self._data_cache[key] = jnp.asarray(x, jnp.float32)
+            arr = jnp.asarray(x, jnp.float32)
+            if self.mesh is not None:
+                # replicate the dataset: permuted batch gathers then
+                # slice locally with no collectives; batches are
+                # re-placed batch-sharded by _place_batch
+                arr = jax.device_put(arr, par.replicated_sharding(self.mesh))
+            self._data_cache[key] = arr
         return self._data_cache[key]
+
+    def _place_batch(self, x_bch, y_bch):
+        """Mesh placement for one batch (no-op without a mesh)."""
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return x_bch, y_bch
+        return par.place_batch((x_bch, jnp.asarray(y_bch)), self.mesh)
 
     # -- epochs ------------------------------------------------------------
 
@@ -139,6 +174,7 @@ class Trainer:
         losses, ious = [], []
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
+            x_bch, y_bch = self._place_batch(x_bch, y_bch)
             self.state, loss, aux, y_hat_bch = self.train_step(
                 self.state, x_bch, y_bch, lr)
             y_hat_parts.append(y_hat_bch)
@@ -186,6 +222,7 @@ class Trainer:
         losses, ious = [], []
         y_hat_parts = []
         for x_bch, y_bch in zip(x_split, y_split):
+            x_bch, y_bch = self._place_batch(x_bch, y_bch)
             loss, aux, y_hat_bch = self.eval_step(
                 self.state, x_bch, y_bch)
             y_hat_parts.append(y_hat_bch)
@@ -228,6 +265,9 @@ class Trainer:
             fallbacks.append(model_dir + str(train_frac))
         raw = ckpt.load_checkpoint(path, target=None, fallback_dirs=fallbacks)
         self.state = serialization.from_state_dict(self.state, raw["state"])
+        if self.mesh is not None:  # restored leaves arrive host-side
+            self.state = par.shard_state(
+                self.state, self.mesh, shard_routing=self._shard_routing)
         return raw
 
 
@@ -235,7 +275,8 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
                        restore_file=None, writer=None, no_metric=False,
                        seed=0, progress=True):
     """Full training run.  Reference parity: main.py:146-217."""
-    trainer = Trainer(params, seed=seed)
+    trainer = Trainer(params, seed=seed,
+                      verbose=bool(params.get("summary", True)))
     plateau = ReduceLROnPlateau(
         lr=params.lr_runtime, factor=params.lr_decay)
 

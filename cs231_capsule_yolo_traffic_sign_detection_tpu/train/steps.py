@@ -8,8 +8,11 @@ single XLA program, with the learning rate as a traced scalar (so the
 plateau scheduler never recompiles) and donated state buffers.
 
 Sharding-agnostic: steps close over no device placement.  With a mesh
-(parallel.mesh), the driver device_puts params replicated and batches
-sharded on the batch axis; XLA inserts the gradient all-reduce.
+(`--mesh`, parallel.mesh), the Trainer device_puts the TrainState
+replicated (routing weights optionally tensor-sharded over 'model') and
+each batch sharded on the batch axis; XLA inserts the gradient
+all-reduce.  Without a mesh everything lands on the default device,
+matching the reference's single-device placement (main.py:231).
 """
 
 from typing import Any, Callable, Optional
@@ -42,9 +45,13 @@ def make_optimizer():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
 
 
-def init_state(model, params_cfg, input_shape, seed=0, batch_size=2,
-               needs_labels=False):
-    """Initialize model variables + optimizer state.
+def init_variables(model, input_shape, seed=0, batch_size=2,
+                   needs_labels=False):
+    """Initialize model variables only (no optimizer state).
+
+    Used directly by the predict path, which restores weights without
+    ever building optimizer moments (the reference's predict also
+    restores the model only, predict_fns.py:32-34).
 
     needs_labels: capsule-style models whose init must trace the recon
     branch (requires a labels argument).
@@ -57,6 +64,15 @@ def init_state(model, params_cfg, input_shape, seed=0, batch_size=2,
         kwargs = dict(y=jnp.zeros((batch_size,), jnp.int32), recon=True)
     variables = model.init({"params": init_rng, "dropout": init_rng}, x,
                            train=False, **kwargs)
+    return variables, state_rng
+
+
+def init_state(model, params_cfg, input_shape, seed=0, batch_size=2,
+               needs_labels=False):
+    """Initialize model variables + optimizer state."""
+    variables, state_rng = init_variables(
+        model, input_shape, seed=seed, batch_size=batch_size,
+        needs_labels=needs_labels)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     opt_state = make_optimizer().init(params)

@@ -55,9 +55,18 @@ parser.add_argument('--model_dir', default=None, help='model dir')
 parser.add_argument('--show', default=False, help='save result', action='store_true')
 parser.add_argument('--npy', default=False, help='data is npy file', action='store_true')
 # TPU-build extensions (default values preserve reference behavior)
-parser.add_argument('--routing', default='xla', help='capsule routing impl: xla | pallas')
+parser.add_argument('--routing', default='auto',
+                    help='capsule routing impl: auto | xla | pallas '
+                         '(auto = pallas on TPU, xla elsewhere)')
 parser.add_argument('--nms', default=False, action='store_true',
                     help='enable on-device NMS in predict (extension; reference has none)')
+parser.add_argument('--mesh', default='auto',
+                    help="device mesh: auto | off | data=N[,model=M] "
+                         "(auto = all local devices data-parallel when >1; "
+                         "the reference is single-device, main.py:231)")
+parser.add_argument('--dtype', default='float32',
+                    help='training compute dtype: float32 | bfloat16 '
+                         '(bf16 keeps f32 master params/Adam moments/BN stats)')
 
 
 def get_data_and_model_dir(model_name):
@@ -84,6 +93,11 @@ def load_params(model_dir, args, with_writer=True):
     params.train_frac = args.train_frac
     params.npy = args.npy
     params.routing_impl = args.routing
+    params.mesh = args.mesh
+    params.compute_dtype = args.dtype
+    # reference quirk: --summary's default makes it always true
+    # (main.py:25); wired through regardless so the flag is honored
+    params.summary = bool(args.summary)
     # reference quirk preserved: the optimizer LR comes from --lr only;
     # the json 'lr'/'learning_rate' keys are dead (main.py:280)
     params.lr_runtime = args.lr
