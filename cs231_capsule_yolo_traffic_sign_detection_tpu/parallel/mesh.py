@@ -8,9 +8,10 @@ This module is the new first-class infrastructure of the TPU build:
   * batch-dim sharding for inputs (data parallelism — XLA inserts the
     gradient psum);
   * optional tensor sharding of the capsule routing weights over the
-    output-capsule axis ('model') — the one genuinely shardable model
-    axis in this workload (the routing contraction's output dim), kept
-    collective-free until the class-norm reduction;
+    n_nodes axis on 'model' — the routing CONTRACTION dimension (1296
+    nodes for CapsuleNet), this workload's one genuinely shardable long
+    axis (SURVEY.md §5): the weighted node-sum becomes sharded partial
+    sums and XLA inserts the psum (see `routing_param_spec`);
   * helpers used by tests (8-device CPU mesh via
     --xla_force_host_platform_device_count) and by the driver's
     multi-chip dry run.
