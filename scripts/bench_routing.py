@@ -34,9 +34,22 @@ def timed(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters, val
 
 
+SHAPES = {
+    # CapsuleNet: 1296 nodes -> 43 caps x 16 dims (models.py:93-94)
+    "capsule": (1296, 43, 8, 16),
+    # DarkCapsuleNet: per-cell 512 nodes -> 1 cap x 5 dims, batched over
+    # the g^2 grid (models.py:368-370); batch arg is multiplied by g^2=49
+    "darkcapsule": (512, 1, 8, 5),
+}
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    N, K, in_c, D = 1296, 43, 8, 16
+    shape = sys.argv[2] if len(sys.argv) > 2 else "capsule"
+    N, K, in_c, D = SHAPES[shape]
+    if shape == "darkcapsule":
+        batch *= 49  # routing runs per grid cell
+    print(f"shape={shape}")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, N, in_c).astype(np.float32))
     w = jnp.asarray((0.1 * rng.randn(N, K, in_c, D)).astype(np.float32))

@@ -1,29 +1,28 @@
 """Training-step throughput benchmark (TPU).
 
 Measures steady-state images/sec of the full compiled train step
-(forward + loss + backward + Adam + BN update) for a chosen model.
-Timing via device-scalar fetch (see bench.py for why).
+(forward + loss + backward + Adam + BN update) per model config.
+Timing via device-scalar fetch (see bench.py for why: over the
+tunneled backend only a D2H fetch actually waits).
 
-Usage: python scripts/bench_train.py [model] [batch]
+Usage:
+    python scripts/bench_train.py [model|all] [batch] [dtype]
+    # e.g. python scripts/bench_train.py all 32 bfloat16
 """
 
+import json
 import sys
 import time
 
-import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
-import jax
-import jax.numpy as jnp
 
 from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
 from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (
     synthetic_dataset,
 )
-from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (
-    Trainer, model_input_shape,
-)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import Trainer
 
 CONFIGS = {
     "cnn": dict(n_classes=43),
@@ -34,15 +33,13 @@ CONFIGS = {
 }
 
 
-def main():
-    model = sys.argv[1] if len(sys.argv) > 1 else "darknet_r"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-
+def bench_one(model, batch, dtype="float32", iters=10):
     kw = dict(
         model=model, batch_size=batch, lr_runtime=1e-3, lr_decay=0.1,
         n_epochs=1, eval_every=1, train_frac=1, recon=True,
         recon_coef=5e-4, dropout=0.0, l_coord=5.0, l_noobj=0.5,
         n_boxes=2, n_grid=14, darknet_input=448, capsule_input=32,
+        compute_dtype=dtype,
     )
     kw.update(CONFIGS[model])
     p = Params(**kw)
@@ -54,9 +51,8 @@ def main():
     t0 = time.perf_counter()
     state, loss, _, _ = trainer.train_step(trainer.state, x, y, 1e-3)
     _ = float(loss)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
 
-    iters = 10
     for _ in range(3):
         state, loss, _, _ = trainer.train_step(state, x, y, 1e-3)
     _ = float(loss)
@@ -65,8 +61,31 @@ def main():
         state, loss, _, _ = trainer.train_step(state, x, y, 1e-3)
     _ = float(loss)
     dt = time.perf_counter() - t0
-    print(f"{model} train: {iters} x batch {batch} in {dt:.3f}s -> "
-          f"{batch * iters / dt:.1f} img/s ({dt/iters*1e3:.2f} ms/step)")
+    return {
+        "model": model, "batch": batch, "dtype": dtype,
+        "compile_s": round(compile_s, 1),
+        "ms_per_step": round(dt / iters * 1e3, 2),
+        "img_per_s": round(batch * iters / dt, 1),
+    }
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "darknet_r"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+
+    models = list(CONFIGS) if model == "all" else [model]
+    results = []
+    for m in models:
+        r = bench_one(m, batch, dtype)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    if len(results) > 1:
+        print("\n| model | batch | dtype | ms/step | img/s |")
+        print("|---|---|---|---|---|")
+        for r in results:
+            print("| {model} | {batch} | {dtype} | {ms_per_step} "
+                  "| {img_per_s} |".format(**r))
 
 
 if __name__ == "__main__":

@@ -4,7 +4,9 @@ Runs the reference driver (/root/reference, executed in place — never
 copied) against the SAME deterministic synthetic GTSRB dataset our
 framework uses, in a scratch working directory, and times one training
 epoch.  Complements bench.py's inference baseline; results go into
-BASELINE.md.
+BASELINE.md.  The workdir/stub machinery is importable
+(`prepare_reference_workdir`, `run_reference`) and reused by the
+end-to-end convergence parity test (tests/test_convergence_parity.py).
 
 Usage: python scripts/run_reference_baseline.py [n_train]
 """
@@ -19,8 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
 from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (
     synthetic_dataset,
@@ -29,42 +29,45 @@ from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (
 REF = "/root/reference"
 
 
-def main():
-    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    work = "/tmp/refrun"
+def prepare_reference_workdir(work, n_train=512, n_eval=64, n_epochs=1,
+                              params_json=None, model="cnn"):
+    """Scratch dir with synthetic data + stubs so the reference runs.
+
+    Returns the env dict to use with run_reference.  The stubs cover
+    packages the reference imports but this image lacks (torchvision,
+    torchsummary) and a torch-0.4 `.view` compat shim (the reference's
+    Flatten views non-contiguous tensors, models.py:10).
+    """
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work + "/data/GTSRB", exist_ok=True)
-    os.makedirs(work + "/experiments/cnn", exist_ok=True)
+    os.makedirs(work + "/experiments/" + model, exist_ok=True)
 
-    # params.json: 1 epoch (config data; schema matches the reference)
-    with open(work + "/experiments/cnn/params.json", "w") as f:
-        json.dump({
-            "batch_size": 64, "n_classes": 43, "lr": 1e-3,
-            "n_epochs": 1, "dropout": 0.5, "lr_decay": 0.1,
-        }, f)
+    cfg = {
+        "batch_size": 64, "n_classes": 43, "lr": 1e-3,
+        "n_epochs": n_epochs, "dropout": 0.5, "lr_decay": 0.1,
+    }
+    if params_json:
+        cfg.update(params_json)
+    with open(work + f"/experiments/{model}/params.json", "w") as f:
+        json.dump(cfg, f)
 
-    p = Params(model="cnn", n_classes=43)
-    x_tr, y_tr, x_ev, y_ev = synthetic_dataset("cnn", p,
-                                               n_train=n_train, n_eval=64)
+    p = Params(model=model, n_classes=43)
+    x_tr, y_tr, x_ev, y_ev = synthetic_dataset(model, p,
+                                               n_train=n_train,
+                                               n_eval=n_eval)
     with open(work + "/data/GTSRB/train.p", "wb") as f:
         pickle.dump((x_tr, y_tr), f)
     with open(work + "/data/GTSRB/eval.p", "wb") as f:
         pickle.dump((x_ev, y_ev), f)
 
-    # torchvision is imported (unused) by the reference's predict_fns;
-    # it's not in this image — provide an empty stub on the path
     os.makedirs(work + "/stubs/torchvision", exist_ok=True)
     open(work + "/stubs/torchvision/__init__.py", "w").close()
     with open(work + "/stubs/torchvision/transforms.py", "w") as f:
         f.write("")
-    # torchsummary likewise absent; the reference only prints a summary
     with open(work + "/stubs/torchsummary.py", "w") as f:
         f.write("def summary(model, input_shape=None, **kw):\n"
                 "    print('[stub torchsummary]', type(model).__name__,"
                 " input_shape)\n")
-    # torch-0.4 compat shim: the reference's Flatten calls .view on a
-    # non-contiguous tensor (models.py:10), which torch 2.x rejects;
-    # fall back to .reshape exactly where 0.4 would have succeeded
     with open(work + "/stubs/sitecustomize.py", "w") as f:
         f.write(
             "import torch\n"
@@ -76,18 +79,31 @@ def main():
             "        return self.reshape(*a, **k)\n"
             "torch.Tensor.view = _view\n")
 
-    env = dict(os.environ, PYTHONPATH=work + "/stubs:" + REF)
+    return dict(os.environ, PYTHONPATH=work + "/stubs:" + REF)
+
+
+def run_reference(work, env, model="cnn", mode="train", extra_args=(),
+                  timeout=3600):
+    """Run the reference main.py in the prepared workdir."""
+    return subprocess.run(
+        [sys.executable, REF + "/main.py", "--model", model,
+         "--mode", mode, *extra_args],
+        cwd=work, env=env, capture_output=True, text=True,
+        timeout=timeout)
+
+
+def main():
+    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    work = "/tmp/refrun"
+    env = prepare_reference_workdir(work, n_train=n_train)
+
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, REF + "/main.py", "--model", "cnn",
-         "--mode", "train", "--no_metric"],
-        cwd=work, env=env, capture_output=True, text=True, timeout=3600)
+    proc = run_reference(work, env, extra_args=("--no_metric",))
     dt = time.perf_counter() - t0
     sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
     if proc.returncode != 0:
         print(json.dumps({"ok": False, "returncode": proc.returncode}))
         return
-    # one epoch = train pass over n_train + eval pass over 64
     ips = n_train / dt
     print(json.dumps({
         "ok": True,
