@@ -84,9 +84,12 @@ def bench_tpu(dtype="float32"):
         if dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
         y = model.apply(variables, x, train=False).astype(jnp.float32)
+        # full-width decode: every g*g*B candidate kept, like the
+        # reference's y_to_boxes_vec (no silent top-k truncation)
+        g = SIZE // 32
         d = decode.decode_grid(
             y, n_classes=N_CLASSES, n_boxes=N_BOXES, img_size=SIZE,
-            max_boxes=64, conf_th=0.5)
+            max_boxes=g * g * N_BOXES, conf_th=0.5)
         return (jnp.sum(d["conf"]) + jnp.sum(d["xy"])
                 + jnp.sum(d["classes"]).astype(jnp.float32))
 

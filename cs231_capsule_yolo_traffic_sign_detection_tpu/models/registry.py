@@ -22,19 +22,33 @@ MODEL_REGISTRY = {
 }
 
 
-def resolve_routing_impl(impl):
-    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere.
+def resolve_routing_impl(impl, model=None):
+    """'auto' -> the fused Pallas kernel where it wins, XLA elsewhere.
 
-    The Pallas routing kernel (ops/routing_pallas.py) is the TPU
-    default: it wins over the XLA path on hardware (BASELINE.md) and is
-    parity-tested fwd+bwd.  On CPU/GPU backends interpret-mode Pallas
-    would be far slower than XLA, so 'auto' keeps XLA there.
+    Measured on TPU v5e (scripts/bench_routing.py, BASELINE.md): at the
+    CapsuleNet shape (1296 nodes -> 43 caps x 16 dims) the fused kernel
+    wins 1.7x fwd / 2.4x fwd+bwd with ~5e-7 parity, so it is the TPU
+    default for 'capsule'.  At the darkcapsule shape (512 nodes -> 1
+    cap x 5 dims per grid cell) the tiny contraction is XLA-friendly
+    and the kernel LOSES ~3-4x, so 'auto' keeps XLA there.  On CPU/GPU
+    backends interpret-mode Pallas would be far slower than XLA, so
+    'auto' keeps XLA off-TPU.  Explicit 'pallas'/'xla' always wins.
     """
     if impl != "auto":
         return impl
+    if model == "darkcapsule":
+        return "xla"
     import jax
 
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() == "tpu":
+        return "pallas"
+    # tunneled TPU backends may report a different platform name; the
+    # device kind still identifies real TPU hardware
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    return "pallas" if "tpu" in str(kind).lower() else "xla"
 
 
 def _compute_dtype(params):
@@ -55,7 +69,7 @@ def build_model(params, routing_impl=None):
     """Instantiate the flax module for `params.model`."""
     name = params.model
     impl = resolve_routing_impl(
-        routing_impl or params.get("routing_impl", "auto"))
+        routing_impl or params.get("routing_impl", "auto"), model=name)
     dropout = float(params.get("dropout", 0.0))
     dtype = _compute_dtype(params)
     if name == "cnn":

@@ -40,4 +40,17 @@ python scripts/bench_train.py all 32 bfloat16
 echo "=== [7] MFU analytic flops (CPU backend) $(date)"
 python scripts/mfu.py
 
+echo "=== [8] CLI drive: cnn train (verify skill) $(date)"
+python main.py --model cnn --mode train
+
+echo "=== [9] CLI drive: cnn predict $(date)"
+python main.py --model cnn --mode predict --restore last
+
+echo "=== [10] CLI drive: darknet_r predict (decode path) $(date)"
+python main.py --model darknet_r --mode train
+python main.py --model darknet_r --mode predict --restore last
+
+echo "=== [11] multichip dryrun (CPU 8-dev mesh) $(date)"
+python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
 echo "=== DONE $(date)"
