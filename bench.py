@@ -22,7 +22,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 SIZE = int(os.environ.get("BENCH_SIZE", "448"))
 N_BOXES = 1
 N_CLASSES = 43
@@ -34,28 +34,55 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_available(timeout_s=900):
-    """Probe the TPU backend in a bounded subprocess.
+def tpu_available(attempts=3, timeout_s=480):
+    """Probe the TPU backend in a bounded subprocess, with retries.
 
-    The tunneled backend can wedge for very long times ('backend
-    setup/compile error (Unavailable)'); probing in-process would hang
-    this benchmark unboundedly.
+    The tunneled backend can wedge for minutes after a killed or
+    OOM-crashed TPU process ('backend setup/compile error
+    (Unavailable)'); a single-shot probe then misclassifies a healthy
+    chip as absent and the benchmark silently records a CPU-fallback
+    number (this bit round 1: BENCH_r01.json).  So: retry a few times,
+    and avoid killing a hung probe (killing a TPU process wedges the
+    claim further) — give it one extra grace period first.
     """
     import subprocess
 
     code = ("import jax, jax.numpy as jnp;"
             "print('ok', float(jnp.sum(jnp.ones((8,8)))))")
-    try:
-        p = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-        return p.returncode == 0 and "ok" in p.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(1, attempts + 1):
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True)
+        for grace in (timeout_s, timeout_s):
+            try:
+                out, _ = p.communicate(timeout=grace)
+                if p.returncode == 0 and "ok" in (out or ""):
+                    return True
+                log(f"[bench] tpu probe attempt {i}/{attempts} failed "
+                    f"(rc={p.returncode})")
+                break
+            except subprocess.TimeoutExpired:
+                log(f"[bench] tpu probe attempt {i}/{attempts} still "
+                    f"hanging after {grace}s; extending wait")
+        else:
+            p.kill()  # last resort; claim is already wedged at this point
+            log(f"[bench] tpu probe attempt {i}/{attempts} killed")
+        if i < attempts:
+            time.sleep(60)
+    return False
 
 
 def bench_tpu(dtype="float32"):
     import jax
+
+    # Persistent compilation cache: first compile of darknet_r@448 at
+    # batch 128 takes ~8 min through the tunnel; cached reruns start in
+    # seconds.  Harmless if the backend ignores it.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception as e:
+        log(f"[bench] compilation cache unavailable: {e}")
     import jax.numpy as jnp
 
     from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet

@@ -14,6 +14,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: reruns skip the multi-minute compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import capsule as C

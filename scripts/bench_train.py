@@ -14,7 +14,14 @@ import json
 import sys
 import time
 
+import jax
 import jax.numpy as jnp
+
+try:  # persistent compile cache: reruns skip the multi-minute compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -77,7 +84,13 @@ def main():
     models = list(CONFIGS) if model == "all" else [model]
     results = []
     for m in models:
-        r = bench_one(m, batch, dtype)
+        try:
+            r = bench_one(m, batch, dtype)
+        except Exception as e:  # e.g. OOM at large batch: keep going
+            print(json.dumps({"model": m, "batch": batch, "dtype": dtype,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+            continue
         results.append(r)
         print(json.dumps(r), flush=True)
     if len(results) > 1:
