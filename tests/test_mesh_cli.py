@@ -81,6 +81,26 @@ def test_cli_mesh_trajectory_matches_single_device(model_dirs, tmp_path):
     np.testing.assert_allclose(e1, e2, rtol=1e-2)
 
 
+def test_cli_mesh_model_axis_shards_routing(tmp_path):
+    """--mesh data=4,model=2 engages tensor-sharded routing for the
+    capsule model through the product CLI (step-level numerical parity
+    of the sharded routing is proven in test_parallel.py)."""
+    d = tmp_path / "capsule_tp"
+    d.mkdir()
+    (d / "params.json").write_text(json.dumps({
+        "batch_size": 8, "n_classes": 43, "lr": 1e-3,
+        "n_epochs": 1, "dropout": 0.0, "lr_decay": 0.1,
+    }))
+    r = _run(["--model", "capsule", "--mode", "train", "--no_metric",
+              "--train_frac", "0.05", "--model_dir", str(d),
+              "--mesh", "data=4,model=2"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[mesh] data=4 model=2 (routing sharded: True)" in r.stdout, (
+        r.stdout[-2000:])
+    losses = np.load(os.path.join(str(d), "losses_tr.npy"))
+    assert losses.shape == (1,) and np.isfinite(losses).all()
+
+
 def test_cli_mesh_auto_engages_on_multidevice(model_dirs, tmp_path):
     """Default --mesh auto picks up all local devices."""
     _, mesh_dir = model_dirs
