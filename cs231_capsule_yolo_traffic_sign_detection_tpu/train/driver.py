@@ -49,6 +49,8 @@ def model_input_shape(params):
 class Trainer:
     """Owns model, state, and compiled steps for one experiment."""
 
+    _POSTFIX_EVERY = 16  # batches between live-loss progress fetches
+
     def __init__(self, params, seed=0, verbose=True):
         self.params = params
         self.loss_cfg = LossConfig.from_params(params)
@@ -169,11 +171,17 @@ class Trainer:
                        for b in np.array_split(x, n_batch)]
         y_split = np.array_split(y, n_batch)
 
-        # device scalars accumulate without per-batch host syncs; the
-        # host only blocks when the progress bar wants a live loss
+        # device scalars accumulate without per-batch host syncs.  The
+        # live-loss postfix is throttled: float(loss) is a D2H fetch
+        # that blocks on the whole dispatched chain, and over the
+        # tunneled TPU backend one such sync costs ~0.4s — fetching it
+        # every batch made the epoch 100x slower than the compiled step
+        # (measured: 2.3 it/s vs a 4ms train step).  Dispatch stays
+        # async; the bar advances every batch, the loss refreshes every
+        # _POSTFIX_EVERY batches and at epoch end.
         losses, ious = [], []
         y_hat_parts = []
-        for x_bch, y_bch in zip(x_split, y_split):
+        for i_bch, (x_bch, y_bch) in enumerate(zip(x_split, y_split)):
             x_bch, y_bch = self._place_batch(x_bch, y_bch)
             self.state, loss, aux, y_hat_bch = self.train_step(
                 self.state, x_bch, y_bch, lr)
@@ -182,15 +190,20 @@ class Trainer:
             if "avg_iou" in aux:
                 ious.append(aux["avg_iou"])
             if progress is not None:
-                progress.set_postfix(loss="{:05.3f}".format(float(loss)))
+                if (i_bch + 1) % self._POSTFIX_EVERY == 0 \
+                        or i_bch + 1 == len(y_split):
+                    progress.set_postfix(
+                        loss="{:05.3f}".format(float(loss)))
                 progress.update()
-        avg_loss = float(np.mean([float(l) for l in losses]))
-        avg_iou = float(np.mean([float(i) for i in ious])) if ious else 0.0
+        # one device-side reduction + one fetch per epoch: each fresh
+        # scalar fetch over the tunnel costs a full RTT, so per-batch
+        # float() lists would cost n_batch RTTs
+        avg_loss = float(jnp.mean(jnp.stack(losses)))
+        avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
 
         metric_score = -1
         if metric_on:
-            y_hat = np.concatenate(
-                [np.asarray(p) for p in y_hat_parts], axis=0)
+            y_hat = np.asarray(jnp.concatenate(y_hat_parts, axis=0))
             yy = y
             if n > config.max_metric_samples:
                 i = np.random.choice(n, config.max_metric_samples).astype(int)
@@ -229,13 +242,12 @@ class Trainer:
             losses.append(loss)
             if "avg_iou" in aux:
                 ious.append(aux["avg_iou"])
-        avg_loss = float(np.mean([float(l) for l in losses]))
-        avg_iou = float(np.mean([float(i) for i in ious])) if ious else 0.0
+        avg_loss = float(jnp.mean(jnp.stack(losses)))
+        avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
 
         metric_score = -1
         if metric_on:
-            y_hat = np.concatenate(
-                [np.asarray(p) for p in y_hat_parts], axis=0)
+            y_hat = np.asarray(jnp.concatenate(y_hat_parts, axis=0))
             yy = y
             if n > config.max_metric_samples:
                 i = np.random.choice(n, config.max_metric_samples).astype(int)
