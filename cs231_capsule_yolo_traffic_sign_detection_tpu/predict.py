@@ -61,13 +61,20 @@ def restore_variables(params, model_dir, restore_file):
 
 
 def _batched_forward(step, variables, x, batch_size, mesh=None):
+    """All batches dispatched async, concatenated on device.
+
+    Returns a DEVICE array: fetching per batch would pay one tunnel
+    round-trip per batch, and callers that decode on device would
+    re-upload the result.  Callers fetch once via np.asarray when they
+    need host data.
+    """
     outs = []
     for i in range(0, x.shape[0], batch_size):
         xb = x[i : i + batch_size]
         if mesh is not None:
             xb = par.place_batch(jnp.asarray(xb), mesh)
-        outs.append(np.asarray(step(variables, xb)))
-    return np.concatenate(outs, axis=0)
+        outs.append(step(variables, xb))
+    return jnp.concatenate(outs, axis=0)
 
 
 def dark_pred(images, model_dir, params, restore_file, is_end=True,
@@ -96,13 +103,14 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
             [cv2.resize(im, (size, size)) for im in images]
         ).astype(np.float32)
 
-    y_hat = _batched_forward(step, variables, x, params.batch_size, mesh)
+    y_hat_dev = _batched_forward(step, variables, x, params.batch_size, mesh)
+    y_hat = np.asarray(y_hat_dev)  # single D2H for the host consumers
 
     # max_boxes defaults to ALL g*g*B candidates: the reference returns
     # every above-threshold box (utils.py:288-334), so a smaller static
     # cap would silently drop detections in dense scenes
     decoded = decode_ops.decode_grid(
-        jnp.asarray(y_hat),
+        y_hat_dev,
         n_classes=params.n_classes,
         n_boxes=params.n_boxes,
         img_size=size,
@@ -157,7 +165,8 @@ def class_pred(x, model_dir, params, restore_file):
         return y_hat, np.zeros((0,), np.int64)
     model, variables, mesh = restore_variables(params, model_dir, restore_file)
     step = make_predict_step(model)
-    y_hat = _batched_forward(step, variables, x, params.batch_size, mesh)
+    y_hat = np.asarray(
+        _batched_forward(step, variables, x, params.batch_size, mesh))
     return y_hat, np.argmax(y_hat, axis=1)
 
 

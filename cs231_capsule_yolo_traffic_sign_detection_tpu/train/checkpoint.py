@@ -22,7 +22,9 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    # one batched D2H for the whole pytree: per-leaf np.asarray would
+    # pay a tunnel round-trip per leaf (~50 leaves x ~0.4s every epoch)
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(state_dict, is_best, checkpoint_dir):
