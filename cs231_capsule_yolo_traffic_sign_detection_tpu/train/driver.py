@@ -28,7 +28,8 @@ from ..models.darknet import load_darknet19_npz, darknet_freeze_mask
 from ..parallel import mesh as par
 from . import checkpoint as ckpt
 from .plateau import ReduceLROnPlateau
-from .steps import init_state, make_train_step, make_eval_step
+from .steps import (init_state, make_train_step, make_eval_step,
+                    make_train_epoch, make_eval_epoch)
 from .summary import summarize
 
 
@@ -112,6 +113,10 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.model, self.model_name, self.loss_cfg)
 
+        self._freeze_mask = freeze_mask
+        self._scan_train_fn = None
+        self._scan_eval_fn = None
+
         # HBM-resident dataset cache: the whole dataset is device_put
         # once and batches are device-side gathers driven by tiny index
         # arrays — no per-step image transfer (the reference re-uploads
@@ -119,6 +124,15 @@ class Trainer:
         # comfortably in HBM (SURVEY.md §7).
         self.device_data = bool(params.get("device_data", True))
         self._data_cache = {}
+
+        # --scan_epoch: whole-epoch lax.scan programs (one dispatch per
+        # epoch per distinct batch size).  Identical batch composition,
+        # order, and RNG stream as the per-batch loop; built lazily so
+        # the default path never pays their compile.  Requires the
+        # HBM-resident dataset; falls back to the loop under a mesh
+        # (per-batch placement) — documented in COMPAT.md.
+        self.scan_epoch = (bool(params.get("scan_epoch", False))
+                           and self.device_data and self.mesh is None)
 
     def _device_dataset(self, tag, x):
         import jax.numpy as jnp
@@ -144,7 +158,97 @@ class Trainer:
             return x_bch, y_bch
         return par.place_batch((x_bch, jnp.asarray(y_bch)), self.mesh)
 
+    def _device_labels(self, tag, y):
+        """Device-cached labels in their native dtype (no f32 cast)."""
+        import jax.numpy as jnp
+
+        key = (tag, y.shape, y.dtype.str)
+        if key not in self._data_cache:
+            for stale in [k for k in self._data_cache if k[0] == tag]:
+                del self._data_cache[stale]
+            self._data_cache[key] = jnp.asarray(y)
+        return self._data_cache[key]
+
+    @staticmethod
+    def _group_splits(splits):
+        """Stack np.array_split's output into index matrices, one per
+        distinct batch size (array_split puts all larger splits first,
+        so at most two contiguous groups)."""
+        groups, start = [], 0
+        while start < len(splits):
+            size, end = len(splits[start]), start
+            while end < len(splits) and len(splits[end]) == size:
+                end += 1
+            groups.append(np.stack(splits[start:end]).astype(np.int32))
+            start = end
+        return groups
+
+    def _scan_epoch_run(self, train, x, y, perm_or_order, lr=None):
+        """Run one epoch through the whole-epoch scan programs.
+
+        Returns (avg_loss, avg_iou, y_hat_np) with identical batch
+        composition/order/math to the per-batch loop.
+        """
+        import jax.numpy as jnp
+
+        params = self.params
+        n = len(perm_or_order)
+        n_batch = (n + params.batch_size - 1) // params.batch_size
+        tag = "train" if train else "eval"
+        x_dev = self._device_dataset(tag, x)
+        y_dev = self._device_labels(tag + "_y", y)
+
+        if train and self._scan_train_fn is None:
+            self._scan_train_fn = make_train_epoch(
+                self.model, self.model_name, self.loss_cfg,
+                freeze_mask=self._freeze_mask)
+        if not train and self._scan_eval_fn is None:
+            self._scan_eval_fn = make_eval_epoch(
+                self.model, self.model_name, self.loss_cfg)
+
+        losses_parts, iou_parts, y_hat_parts = [], [], []
+        for idx in self._group_splits(
+                np.array_split(perm_or_order, n_batch)):
+            idx_dev = jnp.asarray(idx)
+            if train:
+                self.state, losses, auxes, y_hats = self._scan_train_fn(
+                    self.state, x_dev, y_dev, idx_dev, lr)
+            else:
+                losses, auxes, y_hats = self._scan_eval_fn(
+                    self.state, x_dev, y_dev, idx_dev)
+            losses_parts.append(losses)
+            if "avg_iou" in auxes:
+                iou_parts.append(auxes["avg_iou"])
+            y_hat_parts.append(
+                y_hats.reshape((-1,) + y_hats.shape[2:]))
+
+        avg_loss = float(jnp.mean(jnp.concatenate(losses_parts)))
+        avg_iou = (float(jnp.mean(jnp.concatenate(iou_parts)))
+                   if iou_parts else 0.0)
+        y_hat_dev = jnp.concatenate(y_hat_parts, axis=0)
+        return avg_loss, avg_iou, y_hat_dev
+
     # -- epochs ------------------------------------------------------------
+
+    def _epoch_metric(self, avg_loss, avg_iou, y_hat_dev, y, metric_on,
+                      tag):
+        """Shared epoch tail: metric on <=1000 subsampled rows + the
+        darknet_d avg_iou print.  Same np.random consumption as the
+        reference (choice only when metric is on and n > cap)."""
+        params = self.params
+        n = y.shape[0]
+        metric_score = -1
+        if metric_on:
+            y_hat = np.asarray(y_hat_dev)
+            yy = y
+            if n > config.max_metric_samples:
+                i = np.random.choice(n, config.max_metric_samples).astype(int)
+                yy, y_hat = y[i], y_hat[i]
+            metric_score = self.metric(yy, y_hat, params)
+        if self.model_name == "darknet_d":
+            print("{} avg iou: {:05.3f}".format(
+                "train" if tag == "train" else "test", avg_iou))
+        return avg_loss, metric_score
 
     def train_epoch(self, x, y, lr, metric_on=True, progress=None):
         """One training epoch.  Reference parity: main.py:42-95."""
@@ -153,6 +257,17 @@ class Trainer:
         params = self.params
         n = y.shape[0]
         n_batch = (n + params.batch_size - 1) // params.batch_size
+
+        if self.scan_epoch:
+            perm = np.random.permutation(n)
+            avg_loss, avg_iou, y_hat_dev = self._scan_epoch_run(
+                True, x, y, perm, lr=lr)
+            if progress is not None:
+                progress.set_postfix(loss="{:05.3f}".format(avg_loss))
+                progress.update(n_batch)
+            return self._epoch_metric(
+                avg_loss, avg_iou, y_hat_dev, y[perm], metric_on,
+                "train")
 
         if self.device_data:
             # device-resident images: shuffle = permuted index gather on
@@ -200,19 +315,9 @@ class Trainer:
         # float() lists would cost n_batch RTTs
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
-
-        metric_score = -1
-        if metric_on:
-            y_hat = np.asarray(jnp.concatenate(y_hat_parts, axis=0))
-            yy = y
-            if n > config.max_metric_samples:
-                i = np.random.choice(n, config.max_metric_samples).astype(int)
-                yy, y_hat = y[i], y_hat[i]
-            metric_score = self.metric(yy, y_hat, params)
-
-        if self.model_name == "darknet_d":
-            print("train avg iou: {:05.3f}".format(avg_iou))
-        return avg_loss, metric_score
+        return self._epoch_metric(
+            avg_loss, avg_iou, jnp.concatenate(y_hat_parts, axis=0), y,
+            metric_on, "train")
 
     def eval_epoch(self, x, y, metric_on=True):
         """One evaluation epoch.  Reference parity: main.py:98-143."""
@@ -221,6 +326,13 @@ class Trainer:
         params = self.params
         n = y.shape[0]
         n_batch = (n + params.batch_size - 1) // params.batch_size
+
+        if self.scan_epoch:
+            avg_loss, avg_iou, y_hat_dev = self._scan_epoch_run(
+                False, x, y, np.arange(n))
+            return self._epoch_metric(
+                avg_loss, avg_iou, y_hat_dev, y, metric_on, "eval")
+
         if self.device_data:
             x_dev = self._device_dataset("eval", x)
             bounds = np.cumsum([len(b) for b in
@@ -244,19 +356,9 @@ class Trainer:
                 ious.append(aux["avg_iou"])
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
-
-        metric_score = -1
-        if metric_on:
-            y_hat = np.asarray(jnp.concatenate(y_hat_parts, axis=0))
-            yy = y
-            if n > config.max_metric_samples:
-                i = np.random.choice(n, config.max_metric_samples).astype(int)
-                yy, y_hat = y[i], y_hat[i]
-            metric_score = self.metric(yy, y_hat, params)
-
-        if self.model_name == "darknet_d":
-            print("test avg iou: {:05.3f}".format(avg_iou))
-        return avg_loss, metric_score
+        return self._epoch_metric(
+            avg_loss, avg_iou, jnp.concatenate(y_hat_parts, axis=0), y,
+            metric_on, "eval")
 
     # -- checkpoint glue ---------------------------------------------------
 

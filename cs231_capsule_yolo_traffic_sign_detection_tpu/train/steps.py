@@ -111,13 +111,10 @@ def _forward(model, variables, x, y, loss_cfg: LossConfig, model_name,
     return loss, (aux, new_model_state, y_hat)
 
 
-def make_train_step(model, model_name: str, loss_cfg: LossConfig,
-                    freeze_mask: Optional[Any] = None,
-                    donate: bool = True) -> Callable:
-    """Build the jitted training step.
-
-    Returns step(state, x, y, lr) -> (state, loss, aux, y_hat).
-    """
+def _build_train_step(model, model_name: str, loss_cfg: LossConfig,
+                      freeze_mask: Optional[Any] = None) -> Callable:
+    """The raw (unjitted) train step; shared by the per-batch jit and
+    the whole-epoch scan."""
     tx = make_optimizer()
 
     def step(state: TrainState, x, y, lr):
@@ -154,8 +151,79 @@ def make_train_step(model, model_name: str, loss_cfg: LossConfig,
         )
         return new_state, loss, aux, y_hat
 
+    return step
+
+
+def make_train_step(model, model_name: str, loss_cfg: LossConfig,
+                    freeze_mask: Optional[Any] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted training step.
+
+    Returns step(state, x, y, lr) -> (state, loss, aux, y_hat).
+    """
+    step = _build_train_step(model, model_name, loss_cfg, freeze_mask)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_epoch(model, model_name: str, loss_cfg: LossConfig,
+                     freeze_mask: Optional[Any] = None,
+                     donate: bool = True) -> Callable:
+    """Whole-epoch training as ONE compiled program (`--scan_epoch`).
+
+    epoch(state, x_all, y_all, idx, lr) -> (state, losses, auxes, y_hats)
+
+    `idx` is an (n_batch, bs) int32 matrix of dataset indices — one row
+    per batch, in epoch order.  Each `lax.scan` step gathers its batch
+    from the HBM-resident dataset and runs the exact same train step as
+    the per-batch path, so batch composition, order, RNG stream and
+    math are identical; only the dispatch granularity changes (one
+    launch per epoch instead of per batch).  The driver calls this once
+    per distinct batch size (np.array_split yields at most two).
+
+    Outputs are stacked along a leading n_batch axis; losses (n_batch,),
+    y_hats (n_batch, bs, ...).
+    """
+    step = _build_train_step(model, model_name, loss_cfg, freeze_mask)
+
+    def epoch(state: TrainState, x_all, y_all, idx, lr):
+        def body(carry, ib):
+            xb = jnp.take(x_all, ib, axis=0)
+            yb = jnp.take(y_all, ib, axis=0)
+            new_carry, loss, aux, y_hat = step(carry, xb, yb, lr)
+            return new_carry, (loss, aux, y_hat)
+
+        state, (losses, auxes, y_hats) = jax.lax.scan(body, state, idx)
+        return state, losses, auxes, y_hats
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(epoch, donate_argnums=donate_argnums)
+
+
+def make_eval_epoch(model, model_name: str, loss_cfg: LossConfig) -> Callable:
+    """Whole-epoch evaluation as one compiled program (`--scan_epoch`).
+
+    epoch(state, x_all, y_all, idx) -> (losses, auxes, y_hats); same
+    batch semantics as `make_train_epoch`, state read-only.
+    """
+
+    def eval_step(state, x, y):
+        loss, (aux, _, y_hat) = _forward(
+            model, state.variables, x, y, loss_cfg, model_name,
+            train=False, rngs={}, mutable=False,
+        )
+        return loss, aux, y_hat
+
+    def epoch(state: TrainState, x_all, y_all, idx):
+        def body(carry, ib):
+            xb = jnp.take(x_all, ib, axis=0)
+            yb = jnp.take(y_all, ib, axis=0)
+            return carry, eval_step(state, xb, yb)
+
+        _, (losses, auxes, y_hats) = jax.lax.scan(body, jnp.zeros(()), idx)
+        return losses, auxes, y_hats
+
+    return jax.jit(epoch)
 
 
 def make_grad_fn(model, model_name: str, loss_cfg: LossConfig) -> Callable:

@@ -67,6 +67,10 @@ parser.add_argument('--mesh', default='auto',
 parser.add_argument('--dtype', default='float32',
                     help='training compute dtype: float32 | bfloat16 '
                          '(bf16 keeps f32 master params/Adam moments/BN stats)')
+parser.add_argument('--scan_epoch', default=False, action='store_true',
+                    help='compile each train/eval epoch into one lax.scan '
+                         'program (one dispatch per epoch; identical batches '
+                         'and math to the per-batch loop)')
 
 
 def get_data_and_model_dir(model_name):
@@ -95,6 +99,7 @@ def load_params(model_dir, args, with_writer=True):
     params.routing_impl = args.routing
     params.mesh = args.mesh
     params.compute_dtype = args.dtype
+    params.scan_epoch = args.scan_epoch
     # reference quirk: --summary's default makes it always true
     # (main.py:25); wired through regardless so the flag is honored
     params.summary = bool(args.summary)
