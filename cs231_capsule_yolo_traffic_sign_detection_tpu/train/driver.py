@@ -129,10 +129,11 @@ class Trainer:
         # epoch per distinct batch size).  Identical batch composition,
         # order, and RNG stream as the per-batch loop; built lazily so
         # the default path never pays their compile.  Requires the
-        # HBM-resident dataset; falls back to the loop under a mesh
-        # (per-batch placement) — documented in COMPAT.md.
+        # HBM-resident dataset.  Composes with --mesh: the scan body
+        # constrains each gathered batch to the 'data' sharding, so
+        # GSPMD shards the step exactly like the loop's place_batch.
         self.scan_epoch = (bool(params.get("scan_epoch", False))
-                           and self.device_data and self.mesh is None)
+                           and self.device_data)
 
     def _device_dataset(self, tag, x):
         import jax.numpy as jnp
@@ -166,7 +167,10 @@ class Trainer:
         if key not in self._data_cache:
             for stale in [k for k in self._data_cache if k[0] == tag]:
                 del self._data_cache[stale]
-            self._data_cache[key] = jnp.asarray(y)
+            arr = jnp.asarray(y)
+            if self.mesh is not None:
+                arr = jax.device_put(arr, par.replicated_sharding(self.mesh))
+            self._data_cache[key] = arr
         return self._data_cache[key]
 
     @staticmethod
@@ -198,13 +202,16 @@ class Trainer:
         x_dev = self._device_dataset(tag, x)
         y_dev = self._device_labels(tag + "_y", y)
 
+        batch_sh = (par.batch_sharding(self.mesh)
+                    if self.mesh is not None else None)
         if train and self._scan_train_fn is None:
             self._scan_train_fn = make_train_epoch(
                 self.model, self.model_name, self.loss_cfg,
-                freeze_mask=self._freeze_mask)
+                freeze_mask=self._freeze_mask, batch_sharding=batch_sh)
         if not train and self._scan_eval_fn is None:
             self._scan_eval_fn = make_eval_epoch(
-                self.model, self.model_name, self.loss_cfg)
+                self.model, self.model_name, self.loss_cfg,
+                batch_sharding=batch_sh)
 
         losses_parts, iou_parts, y_hat_parts = [], [], []
         for idx in self._group_splits(

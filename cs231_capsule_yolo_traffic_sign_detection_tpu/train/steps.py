@@ -168,7 +168,8 @@ def make_train_step(model, model_name: str, loss_cfg: LossConfig,
 
 def make_train_epoch(model, model_name: str, loss_cfg: LossConfig,
                      freeze_mask: Optional[Any] = None,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True,
+                     batch_sharding: Optional[Any] = None) -> Callable:
     """Whole-epoch training as ONE compiled program (`--scan_epoch`).
 
     epoch(state, x_all, y_all, idx, lr) -> (state, losses, auxes, y_hats)
@@ -183,13 +184,29 @@ def make_train_epoch(model, model_name: str, loss_cfg: LossConfig,
 
     Outputs are stacked along a leading n_batch axis; losses (n_batch,),
     y_hats (n_batch, bs, ...).
+
+    batch_sharding: optional NamedSharding (batch axis over 'data');
+    under a mesh the gathered batch is constrained to it so GSPMD
+    shards the step exactly like the per-batch loop's place_batch.
     """
     step = _build_train_step(model, model_name, loss_cfg, freeze_mask)
+
+    def body_shard(xb, yb):
+        # mirror parallel.mesh.place_batch: shard only when the batch
+        # divides the 'data' axis, else leave replicated (ragged-tail
+        # group); the decision is static per compiled group shape
+        if batch_sharding is None:
+            return xb, yb
+        if xb.shape[0] % batch_sharding.mesh.shape["data"] != 0:
+            return xb, yb
+        return (jax.lax.with_sharding_constraint(xb, batch_sharding),
+                jax.lax.with_sharding_constraint(yb, batch_sharding))
 
     def epoch(state: TrainState, x_all, y_all, idx, lr):
         def body(carry, ib):
             xb = jnp.take(x_all, ib, axis=0)
             yb = jnp.take(y_all, ib, axis=0)
+            xb, yb = body_shard(xb, yb)
             new_carry, loss, aux, y_hat = step(carry, xb, yb, lr)
             return new_carry, (loss, aux, y_hat)
 
@@ -200,7 +217,8 @@ def make_train_epoch(model, model_name: str, loss_cfg: LossConfig,
     return jax.jit(epoch, donate_argnums=donate_argnums)
 
 
-def make_eval_epoch(model, model_name: str, loss_cfg: LossConfig) -> Callable:
+def make_eval_epoch(model, model_name: str, loss_cfg: LossConfig,
+                    batch_sharding: Optional[Any] = None) -> Callable:
     """Whole-epoch evaluation as one compiled program (`--scan_epoch`).
 
     epoch(state, x_all, y_all, idx) -> (losses, auxes, y_hats); same
@@ -218,6 +236,11 @@ def make_eval_epoch(model, model_name: str, loss_cfg: LossConfig) -> Callable:
         def body(carry, ib):
             xb = jnp.take(x_all, ib, axis=0)
             yb = jnp.take(y_all, ib, axis=0)
+            if (batch_sharding is not None
+                    and xb.shape[0]
+                    % batch_sharding.mesh.shape["data"] == 0):
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
             return carry, eval_step(state, xb, yb)
 
         _, (losses, auxes, y_hats) = jax.lax.scan(body, jnp.zeros(()), idx)

@@ -118,6 +118,31 @@ def test_scan_epoch_metric_and_iou_side_channels():
     assert np.isfinite(loss)
 
 
+def test_scan_epoch_composes_with_mesh():
+    """scan + mesh: the scan body's sharding constraint reproduces the
+    loop-with-mesh trajectory (band — see module docstring) on the
+    8-device CPU mesh."""
+
+    def run(scan):
+        np.random.seed(0)
+        p = _params("cnn", 8, scan, mesh="data=8")
+        x_tr, y_tr, _, _ = synthetic_dataset("cnn", p, n_train=32,
+                                             n_eval=8)
+        trainer = Trainer(p, verbose=False)
+        assert trainer.mesh is not None
+        assert trainer.scan_epoch == scan
+        losses = []
+        for _ in range(3):
+            loss, _ = trainer.train_epoch(x_tr, y_tr, lr=p.lr_runtime,
+                                          metric_on=False)
+            losses.append(loss)
+        return losses
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(a, b, rtol=1e-2)
+
+
 def test_cli_scan_epoch_flag(tmp_path):
     """main.py --scan_epoch trains end to end and writes histories."""
     d = tmp_path / "cnn_scan"
