@@ -1,0 +1,180 @@
+"""Host-streaming batch pipeline (native prefetch + numpy fallback).
+
+The train driver keeps datasets HBM-resident by default, but a dataset
+larger than device memory has to stream from host RAM or disk.  This
+module provides that path: batches are assembled ahead of the consumer
+by the C++ ring-buffer prefetcher (native/prefetch.cpp, worker threads
+that gather permuted rows while Python blocks on device fetches), with
+a byte-identical pure-numpy fallback when no toolchain is available.
+
+Semantics are pinned to the driver's host path (reference parity:
+shuffle + np.array_split, reference main.py:45-48): given the same
+permutation, `iter_batches` yields exactly the arrays
+``np.array_split(x[perm], n_batch)`` / ``np.array_split(y[perm],
+n_batch)`` with X rows as float32.
+
+Extension beyond the reference: X may be stored uint8 (raw pixels); the
+prefetcher fuses the loader's `center_rgb` normalization
+((v - 128) / 128, reference utils.py:122-123) into the gather, so
+raw-pixel stores stream at 1/4 the float32 footprint.  Memmapped .npy
+artifacts (np.load(mmap_mode="r")) work as inputs unchanged — pages are
+faulted in by the worker threads, off the consumer thread.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir():
+    from .. import config
+
+    return os.path.join(config.repo_root(), "native")
+
+
+def get_lib():
+    """Load (building if needed) libprefetch.so, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    d = _native_dir()
+    so = os.path.join(d, "libprefetch.so")
+    src = os.path.join(d, "prefetch.cpp")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                 "-std=c++17", "-pthread", "-o", so, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        i64 = ctypes.c_int64
+        lp = ctypes.POINTER(i64)
+        lib.pf_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            i64, i64, lp, lp, i64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pf_create.restype = ctypes.c_void_p
+        lib.pf_acquire.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.pf_acquire.restype = i64
+        lib.pf_release.argtypes = [ctypes.c_void_p]
+        lib.pf_destroy.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def batch_offsets(n, n_batch):
+    """np.array_split boundaries: n_batch parts, larger splits first."""
+    sizes = [len(s) for s in np.array_split(np.arange(n), n_batch)]
+    return np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+
+def _normalize_x(rows):
+    if rows.dtype == np.uint8:
+        return (rows.astype(np.float32) - 128.0) / 128.0
+    return rows.astype(np.float32)
+
+
+def _iter_numpy(x, y, perm, offsets):
+    for lo, hi in zip(offsets[:-1], offsets[1:]):
+        idx = perm[lo:hi]
+        yield _normalize_x(x[idx]), y[idx].copy()
+
+
+def iter_batches(x, y, perm, n_batch, ring=3, n_threads=2, copy=True):
+    """Yield (x_f32, y) batches of x[perm]/y[perm] split n_batch ways.
+
+    Uses the native threaded prefetcher when available; otherwise a
+    byte-identical numpy generator.  With ``copy=False`` the native
+    path yields zero-copy views into the ring slot, valid only until
+    the next iteration — callers must consume (e.g. device_put) each
+    batch before advancing.
+    """
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    n = perm.shape[0]
+    if n == 0:
+        return
+    offsets = batch_offsets(n, n_batch)
+
+    lib = get_lib()
+    x = np.ascontiguousarray(x) if not _is_contiguous(x) else x
+    y = np.ascontiguousarray(y) if not _is_contiguous(y) else y
+    x_native = x.dtype in (np.float32, np.uint8)
+    if lib is None or not x_native:
+        yield from _iter_numpy(x, y, perm, offsets)
+        return
+
+    x_row_elems = int(np.prod(x.shape[1:], dtype=np.int64))
+    y_row_bytes = int(np.prod(y.shape[1:], dtype=np.int64)) * y.dtype.itemsize
+    h = lib.pf_create(
+        ctypes.c_void_p(_addr(x)), ctypes.c_void_p(_addr(y)),
+        int(x.dtype == np.uint8), x_row_elems, y_row_bytes,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(len(offsets) - 1), int(ring), int(n_threads))
+    if not h:  # allocation failure -> fallback
+        yield from _iter_numpy(x, y, perm, offsets)
+        return
+    try:
+        xp = ctypes.POINTER(ctypes.c_float)()
+        yp = ctypes.c_void_p()
+        while True:
+            rows = lib.pf_acquire(h, ctypes.byref(xp), ctypes.byref(yp))
+            if rows < 0:
+                break
+            if rows == 0:  # np.array_split emits empties when n_batch > n
+                yield (np.zeros((0,) + x.shape[1:], np.float32),
+                       np.zeros((0,) + y.shape[1:], y.dtype))
+                lib.pf_release(h)
+                continue
+            xb = np.ctypeslib.as_array(
+                xp, shape=(int(rows),) + x.shape[1:])
+            yb = np.frombuffer(
+                ctypes.cast(
+                    yp, ctypes.POINTER(
+                        ctypes.c_uint8 * (int(rows) * y_row_bytes))
+                ).contents,
+                dtype=y.dtype).reshape((int(rows),) + y.shape[1:])
+            if copy:
+                xb, yb = xb.copy(), yb.copy()
+            yield xb, yb
+            lib.pf_release(h)
+    finally:
+        lib.pf_destroy(h)
+
+
+def _is_contiguous(a):
+    return isinstance(a, np.ndarray) and a.flags["C_CONTIGUOUS"]
+
+
+def _addr(a):
+    # works for plain ndarrays and np.memmap alike
+    return a.ctypes.data
+
+
+def open_memmap_dataset(data_dir, split="train"):
+    """Memmap a split's npy artifacts (X stays on disk until faulted).
+
+    Artifact names follow the builder's npy variant
+    (build_data_npy.py): ``<split>_X.npy`` / ``<split>_Y.npy``.
+    """
+    from .. import config
+
+    stem = {"train": config.tr_d, "eval": config.ev_d,
+            "test": config.te_d}[split]
+    stem = stem[:-2] if stem.endswith(".p") else stem
+    x = np.load(data_dir + stem + "_X.npy", mmap_mode="r")
+    y = np.load(data_dir + stem + "_Y.npy", mmap_mode="r")
+    return x, y

@@ -21,6 +21,7 @@ import jax
 
 from .. import config
 from ..data import loader as data_loader
+from ..data import stream as data_stream
 from ..losses import LossConfig
 from ..metrics import METRIC_REGISTRY
 from ..models import build_model
@@ -53,6 +54,10 @@ class Trainer:
     _POSTFIX_EVERY = 16  # batches between live-loss progress fetches
 
     def __init__(self, params, seed=0, verbose=True):
+        if str(params.get("compute_dtype", "float32")).lower() == "int8":
+            raise ValueError(
+                "--dtype int8 is a serving-only extension (predict / "
+                "bench, ops/quant.py); train with float32 or bfloat16")
         self.params = params
         self.loss_cfg = LossConfig.from_params(params)
         self.model = build_model(params)
@@ -122,7 +127,15 @@ class Trainer:
         # arrays — no per-step image transfer (the reference re-uploads
         # every batch every epoch, main.py:57-59).  Both datasets fit
         # comfortably in HBM (SURVEY.md §7).
-        self.device_data = bool(params.get("device_data", True))
+        #
+        # --stream covers the opposite regime (dataset larger than HBM):
+        # host-resident (possibly memmapped) arrays, batches gathered
+        # ahead of the device by the native threaded prefetcher
+        # (data/stream.py) and uploaded per step.  Batch composition,
+        # order, and RNG consumption are identical to the default path.
+        self.stream = bool(params.get("stream", False))
+        self.device_data = (bool(params.get("device_data", True))
+                            and not self.stream)
         self._data_cache = {}
 
         # --scan_epoch: whole-epoch lax.scan programs (one dispatch per
@@ -287,11 +300,19 @@ class Trainer:
                 jnp.take(x_dev, jnp.asarray(i), axis=0)
                 for i in np.array_split(perm, n_batch)
             ]
+            batches = zip(x_split, np.array_split(y, n_batch))
+        elif self.stream:
+            # host-streaming (--stream): same permutation draw as the
+            # other paths; the native threaded prefetcher
+            # (data/stream.py) gathers each batch ahead of the device
+            perm = np.random.permutation(n)
+            batches = data_stream.iter_batches(x, y, perm, n_batch)
+            y = np.asarray(y[perm])  # labels only, for the metric tail
         else:
             x, y = data_loader.shuffle(x, y)
             x_split = [b.astype(np.float32)
                        for b in np.array_split(x, n_batch)]
-        y_split = np.array_split(y, n_batch)
+            batches = zip(x_split, np.array_split(y, n_batch))
 
         # device scalars accumulate without per-batch host syncs.  The
         # live-loss postfix is throttled: float(loss) is a D2H fetch
@@ -303,7 +324,7 @@ class Trainer:
         # _POSTFIX_EVERY batches and at epoch end.
         losses, ious = [], []
         y_hat_parts = []
-        for i_bch, (x_bch, y_bch) in enumerate(zip(x_split, y_split)):
+        for i_bch, (x_bch, y_bch) in enumerate(batches):
             x_bch, y_bch = self._place_batch(x_bch, y_bch)
             self.state, loss, aux, y_hat_bch = self.train_step(
                 self.state, x_bch, y_bch, lr)
@@ -313,7 +334,7 @@ class Trainer:
                 ious.append(aux["avg_iou"])
             if progress is not None:
                 if (i_bch + 1) % self._POSTFIX_EVERY == 0 \
-                        or i_bch + 1 == len(y_split):
+                        or i_bch + 1 == n_batch:
                     progress.set_postfix(
                         loss="{:05.3f}".format(float(loss)))
                 progress.update()
@@ -346,14 +367,18 @@ class Trainer:
                                 np.array_split(np.arange(n), n_batch)])
             x_split = [x_dev[lo:hi] for lo, hi in
                        zip(np.concatenate([[0], bounds[:-1]]), bounds)]
+            batches = zip(x_split, np.array_split(y, n_batch))
+        elif self.stream:
+            batches = data_stream.iter_batches(
+                x, y, np.arange(n), n_batch)
         else:
             x_split = [b.astype(np.float32)
                        for b in np.array_split(x, n_batch)]
-        y_split = np.array_split(y, n_batch)
+            batches = zip(x_split, np.array_split(y, n_batch))
 
         losses, ious = [], []
         y_hat_parts = []
-        for x_bch, y_bch in zip(x_split, y_split):
+        for x_bch, y_bch in batches:
             x_bch, y_bch = self._place_batch(x_bch, y_bch)
             loss, aux, y_hat_bch = self.eval_step(
                 self.state, x_bch, y_bch)
@@ -408,8 +433,20 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
         if raw.get("plateau"):
             plateau.load_state_dict(raw["plateau"])
 
-    x_tr, y_tr, x_ev, y_ev = data_loader.load_or_synthesize(
-        data_dir, params, is_small=is_small, npy=params.get("npy", False))
+    if (params.get("stream", False) and params.get("npy", False)
+            and not is_small):
+        # streaming + npy artifacts: memmap X so images stay on disk
+        # until the prefetcher's worker threads fault them in
+        try:
+            x_tr, y_tr = data_stream.open_memmap_dataset(data_dir, "train")
+            x_ev, y_ev = data_stream.open_memmap_dataset(data_dir, "eval")
+        except (FileNotFoundError, OSError):
+            x_tr, y_tr, x_ev, y_ev = data_loader.load_or_synthesize(
+                data_dir, params, is_small=is_small, npy=True)
+    else:
+        x_tr, y_tr, x_ev, y_ev = data_loader.load_or_synthesize(
+            data_dir, params, is_small=is_small,
+            npy=params.get("npy", False))
     to_frac = int(y_tr.shape[0] * params.train_frac)
     x_tr, y_tr = x_tr[:to_frac], y_tr[:to_frac]
 

@@ -71,6 +71,11 @@ parser.add_argument('--scan_epoch', default=False, action='store_true',
                     help='compile each train/eval epoch into one lax.scan '
                          'program (one dispatch per epoch; identical batches '
                          'and math to the per-batch loop)')
+parser.add_argument('--stream', default=False, action='store_true',
+                    help='host-streaming data path for larger-than-HBM '
+                         'datasets: batches assembled ahead of the device by '
+                         'the native threaded prefetcher (memmap-friendly; '
+                         'identical batches to the default path)')
 
 
 def get_data_and_model_dir(model_name):
@@ -100,6 +105,7 @@ def load_params(model_dir, args, with_writer=True):
     params.mesh = args.mesh
     params.compute_dtype = args.dtype
     params.scan_epoch = args.scan_epoch
+    params.stream = args.stream
     # reference quirk: --summary's default makes it always true
     # (main.py:25); wired through regardless so the flag is honored
     params.summary = bool(args.summary)
