@@ -87,6 +87,7 @@ def bench_tpu(dtype="float32"):
 
     from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
     from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
 
     log(f"[bench] jax backend: {jax.default_backend()}, "
         f"devices: {jax.devices()}, dtype: {dtype}")
@@ -100,6 +101,11 @@ def bench_tpu(dtype="float32"):
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, variables)
+    elif dtype == "int8":
+        # opt-in quantized serving (ops/quant.py): BN folded, symmetric
+        # per-channel int8 weights, dynamic per-tensor int8 activations;
+        # s8 x s8 -> s32 convs run at 2x the bf16 MXU peak on v5e
+        variables = quant.quantize_darknet(variables)
 
     # The pipeline returns a scalar checksum of the decoded outputs:
     # over a tunneled TPU backend, block_until_ready resolves before
@@ -108,9 +114,15 @@ def bench_tpu(dtype="float32"):
     # are device-resident (the framework's data pipeline keeps datasets
     # in HBM).
     def step(variables, x):
-        if dtype == "bfloat16":
-            x = x.astype(jnp.bfloat16)
-        y = model.apply(variables, x, train=False).astype(jnp.float32)
+        if dtype == "int8":
+            y = quant.darknet_int8_apply(
+                variables, x.astype(jnp.float32),
+                n_boxes=N_BOXES, n_classes=N_CLASSES)
+        else:
+            if dtype == "bfloat16":
+                x = x.astype(jnp.bfloat16)
+            y = model.apply(variables, x, train=False)
+        y = y.astype(jnp.float32)
         # full-width decode: every g*g*B candidate kept, like the
         # reference's y_to_boxes_vec (no silent top-k truncation)
         g = SIZE // 32

@@ -62,6 +62,11 @@ def _compute_dtype(params):
         return None
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
+    if name == "int8":
+        # quantized SERVING path (ops/quant.py, engaged by predict/
+        # bench): modules are built f32 and quantized post-restore;
+        # training rejects int8 in the Trainer
+        return None
     raise ValueError(f"unknown compute dtype {name!r}")
 
 

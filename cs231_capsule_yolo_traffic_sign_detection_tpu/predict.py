@@ -88,7 +88,20 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     import cv2
 
     model, variables, mesh = restore_variables(params, model_dir, restore_file)
-    step = make_predict_step(model)
+    if str(params.get("compute_dtype", "float32")).lower() == "int8":
+        # opt-in quantized serving (--dtype int8, COMPAT.md): BN folded
+        # + symmetric int8 weights/activations, s8 x s8 -> s32 convs
+        from .ops import quant
+
+        variables = quant.quantize_darknet(variables)
+        if mesh is not None:
+            variables = jax.device_put(
+                variables, par.replicated_sharding(mesh))
+        nb, nc = int(params.n_boxes), int(params.n_classes)
+        step = jax.jit(lambda q, xb: quant.darknet_int8_apply(
+            q, xb, n_boxes=nb, n_classes=nc))
+    else:
+        step = make_predict_step(model)
 
     image_hw = np.array([image.shape[0:2] for image in images])
     size = model_input_shape(params)[0]

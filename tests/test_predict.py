@@ -81,3 +81,30 @@ def test_class_pred(tmp_path, rng):
     # zero-input contract (upstream empty detection)
     y_hat0, cls0 = class_pred(np.zeros((0, 32, 32, 3)), d, p, "last")
     assert y_hat0.shape == (0, 43) and cls0.shape == (0,)
+
+
+def test_dark_pred_int8(dark_params, tmp_path, rng):
+    """--dtype int8 serving: the quantized predict path produces the
+    same decode-shaped outputs and tracks the f32 grid closely."""
+    d = _mk_ckpt(dark_params, tmp_path)
+    images = [(rng.rand(64, 64, 3) * 255).astype(np.uint8)]
+    y_f32, _ = dark_pred(images, d, dark_params, "last", conf_th=0.2)
+
+    import copy
+
+    p8 = copy.deepcopy(dark_params)
+    p8.compute_dtype = "int8"
+    y_q, outputs = dark_pred(images, d, p8, "last", conf_th=0.2)
+    assert y_q.shape == y_f32.shape == (1, 2, 2, 5 + 43)
+    assert len(outputs) == 1
+    assert np.abs(y_q - y_f32).mean() < 0.02
+
+
+def test_trainer_rejects_int8():
+    p = Params(
+        model="cnn", n_classes=43, batch_size=8, dropout=0.0,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, compute_dtype="int8",
+    )
+    with pytest.raises(ValueError, match="serving-only"):
+        Trainer(p, verbose=False)

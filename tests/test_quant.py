@@ -1,0 +1,114 @@
+"""int8 quantized serving path (ops/quant.py).
+
+Tier 1: BN folding must match the model's inference forward to float
+reassociation error.  Tier 2: the int8 forward must track the f32
+forward closely enough that the decoded detections agree.  Both are
+extensions beyond the reference (OFF by default; the reference serves
+f32 torch, predict_fns.py:10-58).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
+
+
+SIZE = 64  # stride 32 -> 2x2 grid; topology identical to 448, just small
+
+
+@pytest.fixture(scope="module")
+def darknet_setup():
+    model = DarkNet(n_boxes=1, n_classes=43, dropout=0.0)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (2, SIZE, SIZE, 3))
+        .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # perturb BN stats/affine away from their init (mean 0, var 1,
+    # scale 1, bias 0) so the fold is actually exercised
+    rng = np.random.RandomState(1)
+
+    def perturb(path, a):
+        names = [getattr(p, "key", "") for p in path]
+        if any(str(n).startswith("bn_") for n in names):
+            return a + jnp.asarray(
+                0.05 * np.abs(rng.randn(*a.shape)).astype(np.float32))
+        return a
+
+    variables = jax.tree_util.tree_map_with_path(perturb, dict(variables))
+    y_ref = model.apply(variables, x, train=False)
+    return model, variables, x, y_ref
+
+
+def test_bn_fold_matches_model(darknet_setup):
+    model, variables, x, y_ref = darknet_setup
+    layers, head = quant.fold_darknet(variables)
+    y_fold = quant.darknet_folded_apply(
+        layers, head, x, n_boxes=1, n_classes=43)
+    np.testing.assert_allclose(
+        np.asarray(y_fold), np.asarray(y_ref), atol=2e-5)
+
+
+def test_int8_tracks_f32(darknet_setup):
+    model, variables, x, y_ref = darknet_setup
+    q = quant.quantize_darknet(variables)
+    y_q = quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+    y_q, y_ref = np.asarray(y_q), np.asarray(y_ref)
+    assert y_q.shape == y_ref.shape
+    # sigmoid/softmax outputs: absolute agreement band for 18 quantized
+    # layers of compounding error
+    err = np.abs(y_q - y_ref)
+    assert err.mean() < 0.01, err.mean()
+    assert err.max() < 0.12, err.max()
+    # class argmax (what predict uses) stays stable for dominant cells
+    cls_ref = y_ref[..., 5:].argmax(-1)
+    cls_q = y_q[..., 5:].argmax(-1)
+    assert (cls_ref == cls_q).mean() > 0.9
+
+
+def test_int8_decode_agrees(darknet_setup):
+    """Decoded boxes from the int8 forward match f32 decode closely."""
+    model, variables, x, y_ref = darknet_setup
+    q = quant.quantize_darknet(variables)
+    y_q = quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+    kw = dict(n_classes=43, n_boxes=1, img_size=SIZE, conf_th=0.5)
+    d_ref = decode.decode_grid(jnp.asarray(y_ref), **kw)
+    d_q = decode.decode_grid(y_q, **kw)
+    # same candidate ordering is not guaranteed under quantization, but
+    # the box geometry of the top candidate must agree to a few pixels
+    np.testing.assert_allclose(
+        np.asarray(d_q["xy"][:, 0]), np.asarray(d_ref["xy"][:, 0]),
+        atol=3.0)
+
+
+def test_quantized_pytree_jits(darknet_setup):
+    """qparams is an arrays-only pytree: jit over it directly."""
+    model, variables, x, _ = darknet_setup
+    q = quant.quantize_darknet(variables)
+
+    @jax.jit
+    def f(q, x):
+        return quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+
+    y1 = f(q, x)
+    y2 = quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-2, atol=2e-2)
+    for L in q["layers"]:
+        assert L["wq"].dtype == jnp.int8
+
+
+def test_weight_quant_error_bounded(darknet_setup):
+    """Per-channel symmetric quantization: reconstruction error of each
+    folded kernel is bounded by half a quantization step per weight."""
+    model, variables, _, _ = darknet_setup
+    layers, _ = quant.fold_darknet(variables)
+    q = quant.quantize_darknet(variables)
+    for L, Q in zip(layers, q["layers"]):
+        w_rec = Q["wq"].astype(jnp.float32) * Q["ws"]
+        step = np.asarray(Q["ws"])  # per-channel LSB
+        err = np.abs(np.asarray(w_rec) - np.asarray(L["w"]))
+        assert (err <= 0.5 * step[None, None, None, :] + 1e-8).all()
