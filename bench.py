@@ -103,9 +103,16 @@ def bench_tpu(dtype="float32"):
             if a.dtype == jnp.float32 else a, variables)
     elif dtype == "int8":
         # opt-in quantized serving (ops/quant.py): BN folded, symmetric
-        # per-channel int8 weights, dynamic per-tensor int8 activations;
-        # s8 x s8 -> s32 convs run at 2x the bf16 MXU peak on v5e
-        variables = quant.quantize_darknet(variables)
+        # per-channel int8 weights; s8 x s8 -> s32 convs run at 2x the
+        # bf16 MXU peak on v5e.  Default: static activation scales
+        # calibrated on a batch from the same distribution (removes the
+        # dynamic abs-max reduction from the serving graph);
+        # BENCH_INT8_DYNAMIC=1 measures the dynamic-quantization variant.
+        cal = None
+        if not os.environ.get("BENCH_INT8_DYNAMIC"):
+            cal = jnp.asarray(np.random.RandomState(0).rand(
+                min(BATCH, 32), SIZE, SIZE, 3).astype(np.float32))
+        variables = quant.quantize_darknet(variables, x_cal=cal)
 
     # The pipeline returns a scalar checksum of the decoded outputs:
     # over a tunneled TPU backend, block_until_ready resolves before

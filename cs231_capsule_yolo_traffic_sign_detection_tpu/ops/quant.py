@@ -85,11 +85,18 @@ def darknet_folded_apply(layers, head, x, *, n_boxes, n_classes):
     return _head(out, n_boxes, n_classes)
 
 
-def quantize_darknet(variables, eps=1e-5):
+def quantize_darknet(variables, eps=1e-5, x_cal=None):
     """Quantize folded conv weights to symmetric per-channel int8.
 
     Returns a pytree of arrays only: {"layers": [{"wq" int8, "ws" f32
-    (O,), "b" f32 (O,)}...], "head": f32 kernel}.
+    (O,), "b" f32 (O,)}...], "head": f32 kernel} plus, when a
+    calibration batch `x_cal` is given, "act_scales": (18,) f32 —
+    static per-layer activation scales (see
+    `calibrate_activation_scales`).  Static scales remove the dynamic
+    abs-max reduction (two extra HBM passes per layer) from the
+    serving graph: measured 3137 img/s dynamic vs the static variant
+    on the v5e chip (BASELINE.md); inputs beyond the calibration range
+    saturate, the standard static-int8 tradeoff.
     """
     layers, head = fold_darknet(variables, eps)
     q = []
@@ -98,7 +105,29 @@ def quantize_darknet(variables, eps=1e-5):
         s = jnp.maximum(s, 1e-12)
         wq = jnp.clip(jnp.round(L["w"] / s), -127, 127).astype(jnp.int8)
         q.append({"wq": wq, "ws": s, "b": L["b"]})
-    return {"layers": q, "head": head}
+    out = {"layers": q, "head": head}
+    if x_cal is not None:
+        out["act_scales"] = calibrate_activation_scales(
+            variables, x_cal, eps)
+    return out
+
+
+def calibrate_activation_scales(variables, x_cal, eps=1e-5):
+    """Static per-layer activation scales from a calibration batch.
+
+    Runs the BN-folded f32 forward on `x_cal`, recording max|input| /
+    127 ahead of each quantized conv.  Returns a (18,) f32 array.
+    """
+    layers, _head = fold_darknet(variables, eps)
+    scales = []
+    x = jnp.asarray(x_cal, jnp.float32)
+    for (feats, k, after), L in zip(DARKNET_LAYERS, layers):
+        scales.append(jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12))
+        x = _conv(x, L["w"], k) + L["b"]
+        x = jax.nn.leaky_relu(x, 0.1)
+        if after == "mp":
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return jnp.stack(scales)
 
 
 def _quant_tensor(x):
@@ -112,10 +141,18 @@ def darknet_int8_apply(qparams, x, *, n_boxes, n_classes):
     """int8 inference forward: s8 x s8 -> s32 convs, f32 activations.
 
     Zero padding is exact in the symmetric int8 domain (zero point 0),
-    so SAME-padded convs quantize cleanly.
+    so SAME-padded convs quantize cleanly.  With "act_scales" in
+    qparams (calibrated quantization), activations are scaled by the
+    static per-layer constants instead of a dynamic abs-max.
     """
-    for (feats, k, after), L in zip(DARKNET_LAYERS, qparams["layers"]):
-        xq, sx = _quant_tensor(x)
+    act_scales = qparams.get("act_scales")
+    for i, ((feats, k, after), L) in enumerate(
+            zip(DARKNET_LAYERS, qparams["layers"])):
+        if act_scales is None:
+            xq, sx = _quant_tensor(x)
+        else:
+            sx = act_scales[i]
+            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
         acc = _conv(xq, L["wq"], k, accum_dtype=jnp.int32)
         x = acc.astype(jnp.float32) * (sx * L["ws"]) + L["b"]
         x = jax.nn.leaky_relu(x, 0.1)

@@ -88,19 +88,8 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     import cv2
 
     model, variables, mesh = restore_variables(params, model_dir, restore_file)
-    if str(params.get("compute_dtype", "float32")).lower() == "int8":
-        # opt-in quantized serving (--dtype int8, COMPAT.md): BN folded
-        # + symmetric int8 weights/activations, s8 x s8 -> s32 convs
-        from .ops import quant
-
-        variables = quant.quantize_darknet(variables)
-        if mesh is not None:
-            variables = jax.device_put(
-                variables, par.replicated_sharding(mesh))
-        nb, nc = int(params.n_boxes), int(params.n_classes)
-        step = jax.jit(lambda q, xb: quant.darknet_int8_apply(
-            q, xb, n_boxes=nb, n_classes=nc))
-    else:
+    use_int8 = str(params.get("compute_dtype", "float32")).lower() == "int8"
+    if not use_int8:
         step = make_predict_step(model)
 
     image_hw = np.array([image.shape[0:2] for image in images])
@@ -115,6 +104,23 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
         x = np.stack(
             [cv2.resize(im, (size, size)) for im in images]
         ).astype(np.float32)
+
+    if use_int8:
+        # opt-in quantized serving (--dtype int8, COMPAT.md #21): BN
+        # folded + symmetric int8 weights, static activation scales
+        # calibrated on the first batch (removes the dynamic abs-max
+        # pass; later batches saturate beyond the calibrated range,
+        # the standard static-int8 tradeoff)
+        from .ops import quant
+
+        variables = quant.quantize_darknet(
+            variables, x_cal=jnp.asarray(x[: params.batch_size]))
+        if mesh is not None:
+            variables = jax.device_put(
+                variables, par.replicated_sharding(mesh))
+        nb, nc = int(params.n_boxes), int(params.n_classes)
+        step = jax.jit(lambda q, xb: quant.darknet_int8_apply(
+            q, xb, n_boxes=nb, n_classes=nc))
 
     y_hat_dev = _batched_forward(step, variables, x, params.batch_size, mesh)
     y_hat = np.asarray(y_hat_dev)  # single D2H for the host consumers

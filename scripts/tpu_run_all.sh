@@ -37,6 +37,12 @@ python scripts/bench_train.py all 32 float32
 echo "=== [6] train throughput all configs bf16 $(date)"
 python scripts/bench_train.py all 32 bfloat16
 
+echo "=== [6b] bench.py int8 (calibrated quantized serving) $(date)"
+BENCH_DTYPE=int8 python bench.py
+
+echo "=== [6c] on-device NMS cost $(date)"
+python scripts/bench_nms.py
+
 echo "=== [7] MFU analytic flops (CPU backend) $(date)"
 python scripts/mfu.py
 

@@ -112,3 +112,16 @@ def test_weight_quant_error_bounded(darknet_setup):
         step = np.asarray(Q["ws"])  # per-channel LSB
         err = np.abs(np.asarray(w_rec) - np.asarray(L["w"]))
         assert (err <= 0.5 * step[None, None, None, :] + 1e-8).all()
+
+
+def test_int8_calibrated_matches_dynamic_bands(darknet_setup):
+    """Static calibrated activation scales: on the calibration data
+    itself there is no saturation, so accuracy matches the dynamic
+    variant's bands."""
+    model, variables, x, y_ref = darknet_setup
+    q = quant.quantize_darknet(variables, x_cal=x)
+    assert q["act_scales"].shape == (18,)
+    y_q = quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+    err = np.abs(np.asarray(y_q) - np.asarray(y_ref))
+    assert err.mean() < 0.01, err.mean()
+    assert err.max() < 0.12, err.max()
