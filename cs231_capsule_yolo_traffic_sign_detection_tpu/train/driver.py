@@ -145,8 +145,24 @@ class Trainer:
         # HBM-resident dataset.  Composes with --mesh: the scan body
         # constrains each gathered batch to the 'data' sharding, so
         # GSPMD shards the step exactly like the loop's place_batch.
-        self.scan_epoch = (bool(params.get("scan_epoch", False))
+        # 'auto' (the CLI default) resolves to on-for-TPU: measured
+        # 4.5x per-epoch wall on the chip with an identical loss
+        # trajectory (BASELINE.md), off elsewhere (CPU epochs are
+        # compile-dominated at test sizes).
+        self.scan_epoch = (self._resolve_scan(params.get("scan_epoch",
+                                                         False))
                            and self.device_data)
+
+    @staticmethod
+    def _resolve_scan(setting):
+        """Map a --scan_epoch setting (bool | 'auto' | 'on' | 'off')
+        to a concrete bool; 'auto' = TPU backend only."""
+        if isinstance(setting, str):
+            s = setting.lower()
+            if s == "auto":
+                return jax.default_backend() == "tpu"
+            return s in ("on", "true", "1")
+        return bool(setting)
 
     def _device_dataset(self, tag, x):
         import jax.numpy as jnp

@@ -67,10 +67,13 @@ parser.add_argument('--mesh', default='auto',
 parser.add_argument('--dtype', default='float32',
                     help='training compute dtype: float32 | bfloat16 '
                          '(bf16 keeps f32 master params/Adam moments/BN stats)')
-parser.add_argument('--scan_epoch', default=False, action='store_true',
+parser.add_argument('--scan_epoch', nargs='?', const='on', default='auto',
+                    choices=['auto', 'on', 'off'],
                     help='compile each train/eval epoch into one lax.scan '
                          'program (one dispatch per epoch; identical batches '
-                         'and math to the per-batch loop)')
+                         'and math to the per-batch loop).  auto (default) = '
+                         'on when running on TPU (measured 4.5x per-epoch '
+                         'wall), off elsewhere; bare --scan_epoch = on')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '

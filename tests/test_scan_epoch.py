@@ -164,3 +164,16 @@ def test_cli_scan_epoch_flag(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     losses = np.load(d / "losses_tr.npy")
     assert losses.shape == (2,) and np.isfinite(losses).all()
+
+
+def test_resolve_scan_setting():
+    """--scan_epoch auto = on-for-TPU; strings and bools both accepted."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (
+        Trainer)
+
+    # tests run CPU-forced, so auto resolves off here
+    assert Trainer._resolve_scan("auto") is False
+    assert Trainer._resolve_scan("on") is True
+    assert Trainer._resolve_scan("off") is False
+    assert Trainer._resolve_scan(True) is True
+    assert Trainer._resolve_scan(False) is False
