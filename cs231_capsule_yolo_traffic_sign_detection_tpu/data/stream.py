@@ -103,11 +103,47 @@ def iter_batches(x, y, perm, n_batch, ring=3, n_threads=2, copy=True):
     batch before advancing.
     """
     perm = np.ascontiguousarray(perm, dtype=np.int64)
-    n = perm.shape[0]
-    if n == 0:
+    if perm.shape[0] == 0:
         return
-    offsets = batch_offsets(n, n_batch)
+    offsets = batch_offsets(perm.shape[0], n_batch)
+    yield from _iter_offsets(x, y, perm, offsets, ring, n_threads, copy)
 
+
+def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
+                               process_count=None, ring=3, n_threads=2,
+                               copy=True):
+    """Multi-host streaming: this process's slice of each global batch.
+
+    Composes the prefetcher with the pod data layout (SURVEY.md §7.9,
+    parallel.mesh.process_batch_slice): the global batch b is
+    perm[off[b]:off[b+1]]; each process gathers only its contiguous
+    within-batch row range, and the sharded global array is assembled
+    collective-free with parallel.mesh.global_batch_from_process_local.
+    Yields (x_local_f32, y_local, n_global_rows).
+    """
+    from ..parallel.mesh import process_batch_slice
+
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    if perm.shape[0] == 0:
+        return
+    offsets = batch_offsets(perm.shape[0], n_batch)
+    sub, sub_off, globals_ = [], [0], []
+    for lo, hi in zip(offsets[:-1], offsets[1:]):
+        s, e = process_batch_slice(
+            int(hi - lo), process_index, process_count)
+        sub.append(perm[lo + s: lo + e])
+        sub_off.append(sub_off[-1] + (e - s))
+        globals_.append(int(hi - lo))
+    sub_perm = (np.concatenate(sub) if sub
+                else np.zeros(0, np.int64)).astype(np.int64)
+    sub_off = np.asarray(sub_off, np.int64)
+    for (xb, yb), n_glob in zip(
+            _iter_offsets(x, y, sub_perm, sub_off, ring, n_threads, copy),
+            globals_):
+        yield xb, yb, n_glob
+
+
+def _iter_offsets(x, y, perm, offsets, ring, n_threads, copy):
     lib = get_lib()
     x = np.ascontiguousarray(x) if not _is_contiguous(x) else x
     y = np.ascontiguousarray(y) if not _is_contiguous(y) else y

@@ -165,3 +165,66 @@ def test_cli_stream_matches_default_trajectory(tmp_path):
     e1 = np.load(os.path.join(default_dir, "losses_ev.npy"))
     e2 = np.load(os.path.join(stream_dir, "losses_ev.npy"))
     np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host composition (SURVEY §7.9 x --stream)
+# ---------------------------------------------------------------------------
+
+def test_process_local_slices_partition_each_batch():
+    """Across all (faked) processes, the per-process slices of every
+    global batch concatenate back to exactly that batch."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(37, 3, 3, 3).astype(np.float32)
+    y = rng.randint(0, 9, 37).astype(np.int64)
+    perm = rng.permutation(37)
+    n_batch, pc = 5, 4
+
+    want = reference_batches(x, y, perm, n_batch)
+    got = [list(stream.iter_batches_process_local(
+        x, y, perm, n_batch, process_index=pi, process_count=pc))
+        for pi in range(pc)]
+    for b, (wx, wy) in enumerate(want):
+        xs = np.concatenate([got[pi][b][0] for pi in range(pc)])
+        ys = np.concatenate([got[pi][b][1] for pi in range(pc)])
+        np.testing.assert_array_equal(xs, wx)
+        np.testing.assert_array_equal(ys, wy)
+        for pi in range(pc):
+            assert got[pi][b][2] == len(wy)  # n_global_rows
+
+
+def test_process_local_single_process_equals_iter_batches():
+    rng = np.random.RandomState(6)
+    x = rng.randn(20, 2, 2, 3).astype(np.float32)
+    y = rng.randint(0, 5, 20).astype(np.int64)
+    perm = rng.permutation(20)
+    a = list(stream.iter_batches(x, y, perm, 4))
+    b = list(stream.iter_batches_process_local(
+        x, y, perm, 4, process_index=0, process_count=1))
+    assert len(a) == len(b)
+    for (ax, ay), (bx, by, ng) in zip(a, b):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
+        assert ng == len(ay)
+
+
+def test_process_local_assembles_global_batch_on_mesh():
+    """Single-process end-to-end: the local slice feeds
+    global_batch_from_process_local and comes back batch-sharded over
+    the 8-device mesh with the right global values."""
+    import jax.numpy as jnp
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.parallel import (
+        mesh as par)
+
+    mesh = par.make_mesh()  # all 8 virtual devices on 'data'
+    rng = np.random.RandomState(7)
+    x = rng.randn(32, 2, 2, 3).astype(np.float32)
+    y = rng.randint(0, 5, 32).astype(np.int64)
+    perm = rng.permutation(32)
+    for xb, yb, n_glob in stream.iter_batches_process_local(
+            x, y, perm, 2):
+        g = par.global_batch_from_process_local(
+            jnp.asarray(xb), mesh, n_global=n_glob)
+        assert g.shape[0] == n_glob
+        np.testing.assert_allclose(np.asarray(g), xb, rtol=0, atol=0)
