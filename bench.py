@@ -88,6 +88,8 @@ def bench_tpu(dtype="float32"):
     from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
     from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
     from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import (
+        input_stage as in_stage)
 
     log(f"[bench] jax backend: {jax.default_backend()}, "
         f"devices: {jax.devices()}, dtype: {dtype}")
@@ -95,7 +97,17 @@ def bench_tpu(dtype="float32"):
     model = DarkNet(n_boxes=N_BOXES, n_classes=N_CLASSES, dropout=0.0)
     x0 = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
-    if dtype == "bfloat16":
+    # BENCH_SERVING selects the serving forward ("model" = plain flax):
+    #   folded  BN folded into the convs (ops/quant.fold_darknet)
+    #   s2d     + the space-to-depth fused input stage (ops/input_stage)
+    #   fused   + the Pallas fused max-pool+leaky kernel (pool_pallas)
+    serving = os.environ.get("BENCH_SERVING", "model")
+    if serving in ("fused", "s2d", "folded") and dtype != "int8":
+        variables = in_stage.prepare_serving(
+            variables, fuse_input=(serving in ("fused", "s2d")))
+    if serving != "model" and dtype == "int8":
+        serving = "model"
+    if dtype == "bfloat16" and serving == "model":
         # bf16 weights + activations through the conv stack (MXU native);
         # the decode stays in f32 via the head's sigmoid/softmax outputs
         variables = jax.tree_util.tree_map(
@@ -125,6 +137,12 @@ def bench_tpu(dtype="float32"):
             y = quant.darknet_int8_apply(
                 variables, x.astype(jnp.float32),
                 n_boxes=N_BOXES, n_classes=N_CLASSES)
+        elif serving in ("fused", "s2d", "folded"):
+            y = in_stage.darknet_serving_apply(
+                variables, x, n_boxes=N_BOXES, n_classes=N_CLASSES,
+                dtype=(jnp.bfloat16 if dtype == "bfloat16"
+                       else jnp.float32),
+                pallas_pool=(serving == "fused"))
         else:
             if dtype == "bfloat16":
                 x = x.astype(jnp.bfloat16)
