@@ -101,10 +101,15 @@ def bench_tpu(dtype="float32"):
     #   folded  BN folded into the convs (ops/quant.fold_darknet)
     #   s2d     + the space-to-depth fused input stage (ops/input_stage)
     #   fused   + the Pallas fused max-pool+leaky kernel (pool_pallas)
+    #   pallas  fused + the Pallas input-stage kernel (pooled output
+    #           written straight from VMEM)
+    # All rewrites measured SLOWER than "model" on chip (BASELINE.md:
+    # 4602-4683 model / 4500 s2d / 2576 fused / 109 pallas) — they
+    # remain opt-in probes; the default serving path is the XLA model.
     serving = os.environ.get("BENCH_SERVING", "model")
-    if serving in ("fused", "s2d", "folded") and dtype != "int8":
+    if serving in ("pallas", "fused", "s2d", "folded") and dtype != "int8":
         variables = in_stage.prepare_serving(
-            variables, fuse_input=(serving in ("fused", "s2d")))
+            variables, fuse_input=(serving in ("pallas", "fused", "s2d")))
     if serving != "model" and dtype == "int8":
         serving = "model"
     if dtype == "bfloat16" and serving == "model":
@@ -137,12 +142,13 @@ def bench_tpu(dtype="float32"):
             y = quant.darknet_int8_apply(
                 variables, x.astype(jnp.float32),
                 n_boxes=N_BOXES, n_classes=N_CLASSES)
-        elif serving in ("fused", "s2d", "folded"):
+        elif serving in ("pallas", "fused", "s2d", "folded"):
             y = in_stage.darknet_serving_apply(
                 variables, x, n_boxes=N_BOXES, n_classes=N_CLASSES,
                 dtype=(jnp.bfloat16 if dtype == "bfloat16"
                        else jnp.float32),
-                pallas_pool=(serving == "fused"))
+                pallas_pool=(serving in ("pallas", "fused")),
+                pallas_input=(serving == "pallas"))
         else:
             if dtype == "bfloat16":
                 x = x.astype(jnp.bfloat16)

@@ -21,13 +21,24 @@ model's first block; parity pinned in tests/test_input_stage.py.
 
 The reference has no counterpart (torch conv1 + MaxPool2d,
 reference models.py:132-137); this is a TPU-specific serving rewrite,
-engaged opt-in by the bench/serving path.
+engaged opt-in by the bench/serving path (BENCH_SERVING).
+
+MEASURED OUTCOME (chip captures, bf16 batch 128 — see BASELINE.md):
+the plain XLA model path wins.  model 4602-4683 img/s; s2d (this
+module's XLA formulation) 4500; s2d + Pallas pool 2576; full Pallas
+input-stage kernel (input_stage_pallas) 109.  XLA's conv1+pool
+compilation is already within ~2% of the hand rewrites' best, and the
+Pallas variants lose to block re-fetch overlap + VPU relayout costs.
+The module stays as the measured record and as the BN-folding serving
+utility (prepare_serving); all modes remain parity-tested.
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..models.darknet import DARKNET_LAYERS
 from . import quant
@@ -94,6 +105,103 @@ def input_stage_apply(x, wp, bp, n_out, negative_slope=0.1):
     return jax.nn.leaky_relu(y, negative_slope)
 
 
+def _s2d_rows_pad(x):
+    """[B, 2H, 2W, C] -> row-major padded s2d image [B, H+2, 4C, W+2]
+    (one zero ring on the spatial dims = the conv's (1,1) padding).
+
+    The s2d channel axis sits at position 2 so the kernel's
+    overlapping row window (an Element-indexed BlockSpec dim) is NOT
+    one of the last two dims — Mosaic requires those to be 8/128
+    aligned or full-size, which an overlap window can't satisfy."""
+    xs = space_to_depth(x)
+    xs = jnp.transpose(xs, (0, 1, 3, 2))               # (B, H, 4C, W)
+    return jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (1, 1)))
+
+
+def _input_stage_kernel(x_ref, w_ref, b_ref, o_ref, *, rows, n_out, w):
+    """One (image, row-tile) per program; rows are statically unrolled.
+
+    Per row: gather the 9 taps (each a (12, w) slice), merge them into
+    a (108, w) patch (a leading+sublane merge Mosaic supports), run ONE
+    K=108 matmul against the phase-stacked kernel, phase-max + leaky,
+    store the pooled row.  Everything is static — Mosaic on this chip
+    rejects dot/stack bodies under dynamically-indexed slices (probed:
+    fori/program_id row variants crash the remote compiler; the static
+    body compiles).
+
+    x_ref: (1, rows+2, 12, w+2) bf16 (Element-indexed overlapping row
+    window on dim 1);  w_ref: (4*n_out, 108) bf16;  b_ref:
+    (4*n_out, 1) f32;  o_ref: (1, rows, n_out, w) row-major tile.
+    """
+    for r in range(rows):
+        taps = [x_ref[0, r + u, :, pl.ds(v, w)]
+                for u in range(3) for v in range(3)]   # 9 x (12, w)
+        patch = jnp.stack(taps, axis=0).reshape(9 * 12, w)
+        acc = jax.lax.dot_general(
+            w_ref[:], patch,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (4*n_out, w)
+        acc = acc + b_ref[:]
+        m = jnp.max(acc.reshape(4, n_out, w), axis=0)  # (n_out, w)
+        # leaky(x) == max(x, slope*x) for 0 < slope < 1: comparison-
+        # free (Mosaic rejects bf16 compare+select on this target)
+        y = jnp.maximum(m, m * 0.1)
+        o_ref[0, r] = y.astype(o_ref.dtype)
+
+
+def input_stage_pallas(x, wp, bp, n_out=32, rows=8, interpret=None):
+    """Pallas fused input stage: phase convs + in-VMEM pooling.
+
+    Same math as `input_stage_apply` but the 4-phase accumulators
+    never leave VMEM — the kernel writes ONLY the pooled tensor
+    (0.41 GB instead of the 1.6 GB pre-pool intermediate that makes
+    conv1 + pool1 the profiled bandwidth bottleneck, BASELINE.md).
+    The kernel emits channels-first tiles (the row matmul's natural
+    layout); one XLA transpose restores NHWC for conv2.
+    """
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    assert h % rows == 0, (h, rows)
+    xs = _s2d_rows_pad(x.astype(jnp.bfloat16))    # (B, h+2, 12, w+2)
+    # (3,3,12,4n) -> (108, 4n) flattened tap-major -> (4n, 108)
+    wt = jnp.asarray(wp).reshape(9 * 4 * c, 4 * n_out).T
+    wt = wt.astype(jnp.bfloat16)
+    bt = jnp.asarray(bp, jnp.float32).reshape(4 * n_out, 1)
+
+    kernel = functools.partial(
+        _input_stage_kernel, rows=rows, n_out=n_out, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // rows),
+        in_specs=[
+            # overlapping row window lives on dim 1 (Element-indexed);
+            # the last two block dims (12, w+2) are full-size, which
+            # Mosaic accepts unconditionally.  Mosaic requires ALL
+            # dims of a spec to be Element once one is, so the rest
+            # are Element too (with block-index -> element-offset
+            # conversion in the index map).
+            pl.BlockSpec((pl.Element(1), pl.Element(rows + 2),
+                          pl.Element(4 * c), pl.Element(w + 2)),
+                         lambda i, j: (i, j * rows, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * n_out, 9 * 4 * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * n_out, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, n_out, w),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_out, w), jnp.bfloat16),
+        interpret=interpret,
+    )(xs, wt, bt)
+    return jnp.transpose(out, (0, 1, 3, 2))       # NHWC for conv2
+
+
 def prepare_serving(variables, fuse_input=True, eps=1e-5):
     """Fold BN and (optionally) build the phase-stacked input kernel.
 
@@ -110,7 +218,8 @@ def prepare_serving(variables, fuse_input=True, eps=1e-5):
 
 
 def darknet_serving_apply(p, x, *, n_boxes, n_classes,
-                          dtype=jnp.bfloat16, pallas_pool=False):
+                          dtype=jnp.bfloat16, pallas_pool=False,
+                          pallas_input=False):
     """BN-folded serving forward, jit-friendly.
 
     `p` from `prepare_serving`.  When p carries the phase kernel
@@ -129,7 +238,11 @@ def darknet_serving_apply(p, x, *, n_boxes, n_classes,
     start = 0
     if "wp" in p:
         assert DARKNET_LAYERS[0][2] == "mp"
-        x = input_stage_apply(x, p["wp"].astype(dtype), p["bp"], 32)
+        if pallas_input:
+            # fused kernel: phase accumulators never leave VMEM
+            x = input_stage_pallas(x, p["wp"], p["bp"], 32).astype(dtype)
+        else:
+            x = input_stage_apply(x, p["wp"].astype(dtype), p["bp"], 32)
         start = 1
     for (feats, k, after), L in list(
             zip(DARKNET_LAYERS, layers))[start:]:

@@ -102,3 +102,30 @@ def test_serving_apply_jits(darknet_setup):
         p, x, n_boxes=1, n_classes=43, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_input_stage_pallas_matches_xla(darknet_setup):
+    """The Pallas fused input-stage kernel (interpreter on CPU) tracks
+    the XLA s2d formulation within bf16 tolerance."""
+    model, variables, x, _ = darknet_setup
+    p = input_stage.prepare_serving(variables, fuse_input=True)
+    want = input_stage.input_stage_apply(
+        x.astype(jnp.bfloat16), p["wp"].astype(jnp.bfloat16),
+        p["bp"], 32)
+    got = input_stage.input_stage_pallas(x, p["wp"], p["bp"], 32)
+    assert got.shape == want.shape
+    err = np.abs(np.asarray(got, np.float32)
+                 - np.asarray(want, np.float32))
+    assert err.mean() < 5e-3, err.mean()
+    assert err.max() < 0.1, err.max()
+
+
+def test_serving_apply_pallas_input_end_to_end(darknet_setup):
+    model, variables, x, y_ref = darknet_setup
+    p = input_stage.prepare_serving(variables, fuse_input=True)
+    y = input_stage.darknet_serving_apply(
+        p, x, n_boxes=1, n_classes=43, dtype=jnp.bfloat16,
+        pallas_pool=True, pallas_input=True)
+    err = np.abs(np.asarray(y) - np.asarray(y_ref))
+    assert err.mean() < 0.01, err.mean()
+    assert err.max() < 0.15, err.max()
