@@ -25,8 +25,10 @@ class ConvNet(nn.Module):
     def __call__(self, x, train: bool = False):
         for feats in (64, 128):
             x = torch_conv(x, feats, (3, 3), padding=1, dtype=self.dtype)
+            # dtype casts only the normalized output; stats compute in
+            # f32 and running stats stay f32 (see layers.ConvBNLeaky)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(x)
+                             epsilon=1e-5, dtype=self.dtype)(x)
             x = jax.nn.leaky_relu(x, 0.01)  # torch LeakyReLU default slope
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -75,15 +75,22 @@ class ConvBNLeaky(nn.Module):
         x = torch_conv(x, self.features, self.kernel, self.strides,
                        self.padding, use_bias=self.use_bias,
                        name=f"conv{suffix}", dtype=self.dtype)
-        # BatchNorm dtype left unset: a bf16 conv output promotes with
-        # the f32 scale/bias to f32, so normalization statistics and
-        # running stats stay full precision under the bf16 policy (only
-        # the MXU matmuls run bf16)
+        # BatchNorm runs at the policy dtype but is numerically safe:
+        # flax computes the batch statistics in (at least) f32
+        # internally and the running stats / scale / bias params stay
+        # f32 (param_dtype default) — dtype only casts the normalized
+        # OUTPUT.  Leaving it f32 instead doubles the HBM traffic of
+        # every BN/leaky/pool epilogue and its backward at the big
+        # early resolutions: the train-step device profile measured
+        # those f32 epilogues at ~23% of the darknet_r step, and this
+        # cast is worth +29-30% train throughput for the 448px
+        # detectors (BASELINE.md, training profile).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
             name=f"bn{suffix}",
+            dtype=self.dtype,
         )(x)
         x = jax.nn.leaky_relu(x, self.negative_slope)
         if self.dropout > 0:
