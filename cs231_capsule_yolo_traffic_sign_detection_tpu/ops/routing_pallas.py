@@ -1,29 +1,46 @@
-"""Fused Pallas TPU kernel for capsule dynamic routing.
+"""Fused Pallas TPU kernels for capsule dynamic routing.
 
 The XLA path (ops.capsule.dynamic_routing) materializes the priors
 tensor (B, N, K, D) in HBM and re-reads it from HBM in every routing
 iteration (probs*priors contraction + agreement update) — ~5 full
-passes of HBM traffic for 3 iterations.  This kernel loads each batch
-element's priors into VMEM ONCE and runs all iterations on-chip:
-softmax over capsules, weighted node-sum, squash, and the agreement
-logit update never touch HBM.
+passes of HBM traffic for 3 iterations.  These kernels never let the
+priors touch HBM at all: the votes product is computed INSIDE the
+kernel from the small operands (x and the route weights, which stay
+resident in VMEM across the whole batch grid), and the routing loop
+runs on the in-VMEM priors.
 
-Layout: priors are produced directly in a lane-friendly transposed
-layout (B, K*D, N) — capsule-major rows, nodes on the 128-wide lane
-axis — by fusing the transpose into the votes einsum.  K is padded so
-K*D is a multiple of 8 sublanes and N to a multiple of 128 lanes.
-Per-capsule reductions over the D sub-rows use a small constant
-group-sum matmul (MXU) instead of sublane reshapes.
+Evolution, with measured motivation (BASELINE.md, training profile):
+an earlier version computed the votes einsum in XLA and passed the
+(B, K, D, N) priors into the kernel; at CapsuleNet size that tensor is
+~0.5 GB, and the XLA<->custom-call boundary cost a pad fusion plus a
+full layout copy on each side of each kernel (~27% of the capsule
+train step).  Moving the votes product in-kernel deletes the priors
+from HBM entirely — forward HBM traffic drops to x (a few MB) + the
+weights (fetched once for the whole batch) + the tiny caps output.
+
+Layouts: weights are pre-arranged OUTSIDE the kernel (a weight-sized
+transform) as W3 (in_C*K_pad*D, N_pad) — for each input component c,
+rows [c*KD, (c+1)*KD) hold vote component (k,d) across all nodes on
+the 128-wide lane axis.  x is pre-arranged as (B, in_C, N_pad).  The
+kernel unrolls priors[kd, n] = sum_c W3[c*KD+kd, n] * x[c, n] as in_C
+broadcast-FMAs over (KD, N_pad) tiles (VPU).  K is padded so K*D is a
+multiple of 8 sublanes and N to a multiple of 128 lanes.  Per-capsule
+reductions over the D sub-rows use small constant group-sum matmuls
+(MXU) instead of sublane reshapes.
 
 Reference numerics: models.py:64-79 (squash + 3-iteration routing,
 softmax over the output-capsule dim).  Parity is tested against the
 XLA path in tests/test_pallas_routing.py.
 
-The op is differentiable via custom_vjp with a second fused kernel for
-the backward pass (`_routing_bwd_kernel`): it recomputes the routing
-iterations in VMEM and emits d(priors) in one pass; the chain to
-dx/d(route_weights) is the two-einsum VJP of the votes matmul.  Grad
-parity vs the XLA path is tested in tests/test_pallas_routing.py.
+The op is differentiable via custom_vjp.  The backward kernel
+recomputes the priors and the routing iterations in VMEM (storing only
+the tiny per-iteration logits/v), reverse-sweeps to d(priors), and then
+ALSO finishes the votes-matmul VJP on-chip: dx comes out per batch
+element (ones-row MXU contractions over the capsule rows), and dW is
+accumulated across the batch grid into a VMEM block that is written
+once at the end — so neither d(priors) nor any priors-sized tensor is
+ever materialized in HBM.  Grad parity vs the XLA path is tested in
+tests/test_pallas_routing.py.
 """
 
 import functools
@@ -42,35 +59,78 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
-    """One batch element: priors_ref (K_pad*D, N_pad) -> out (K_pad*D,).
+def _pad_dims(N, K):
+    """(K_pad, N_pad) lane/sublane-aligned padding for a weight shape."""
+    # K padded so the group matmul rows stay tiny yet sublane-aligned
+    K_pad = max(_round_up(K, 8), 8)
+    N_pad = _round_up(N, 128)
+    return K_pad, N_pad
+
+
+def _kernel_operands(x, route_weights):
+    """Pre-arrange the SMALL operands into kernel layouts.
+
+    x (B, N, C)            -> x_t (B, C, N_pad) f32
+    route_weights (N,K,C,D) -> w3 (C*K_pad*D, N_pad) f32, component-major
+    rows (see module docstring).  Cost is a few MB — versus a pad + a
+    layout copy over the ~0.5 GB priors per kernel crossing when the
+    votes product is computed outside.
+    """
+    N, K, C, D = route_weights.shape
+    K_pad, N_pad = _pad_dims(N, K)
+    x_t = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))     # (B, C, N)
+    x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, N_pad - N)))
+    w3 = jnp.pad(route_weights.astype(jnp.float32),
+                 ((0, N_pad - N), (0, K_pad - K), (0, 0), (0, 0)))
+    w3 = jnp.transpose(w3, (2, 1, 3, 0))            # (C, K_pad, D, N_pad)
+    w3 = w3.reshape(C * K_pad * D, N_pad)
+    return x_t, w3
+
+
+def _votes(x_ref, w_ref, C, KD):
+    """In-VMEM priors (KD, N_pad): unrolled broadcast-FMA over in_C."""
+    priors = w_ref[0:KD, :] * x_ref[0, 0:1, :]
+    for c in range(1, C):
+        priors = priors + w_ref[c * KD:(c + 1) * KD, :] * x_ref[0, c:c + 1, :]
+    return priors
+
+
+def _group_mats(K_pad, D, dtype):
+    """Constant group matrices: gsum (K_pad, KD) sums a capsule's D
+    rows; its transpose grep (KD, K_pad) broadcasts one value per
+    capsule to its D rows.  Matmul-based (MXU) to avoid sublane
+    reshape/repeat relayouts."""
+    KD = K_pad * D
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 1)
+    gsum = (col_ids // D == row_ids).astype(dtype)
+    rep_ids = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 0)
+    rep_cols = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 1)
+    grep = (rep_ids // D == rep_cols).astype(dtype)
+    return gsum, grep
+
+
+def _routing_fwd_kernel(x_ref, w_ref, out_ref, *, n_iter, C, K, D, K_pad, N):
+    """One batch element: x (1, C, N_pad) + resident W3 -> caps (KD,).
 
     Rows are capsule-major: row k*D+d holds vote component d of capsule
     k across all N nodes (lanes).  Lanes >= N and rows >= K*D are zero
-    padding.
+    padding (structurally zero: both operand paddings are zero).
     """
     KD = K_pad * D
-    N_pad = priors_ref.shape[2]
-    priors = priors_ref[0]                                 # (KD, N_pad)
+    N_pad = x_ref.shape[2]
+    priors = _votes(x_ref, w_ref, C, KD)                   # (KD, N_pad)
+    dtype = priors.dtype
 
     # lane mask for node padding
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
-    node_mask = (lane_ids < N).astype(priors.dtype)        # (K_pad, N_pad)
+    node_mask = (lane_ids < N).astype(dtype)               # (K_pad, N_pad)
 
-    # constant group matrices: gsum (K_pad, KD) sums a capsule's D rows,
-    # its transpose grep (KD, K_pad) broadcasts one value per capsule to
-    # its D rows.  Matmul-based (MXU) to avoid sublane reshape/repeat
-    # relayouts.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 1)
-    gsum = (col_ids // D == row_ids).astype(priors.dtype)  # (K_pad, KD)
-    rep_ids = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 0)
-    rep_cols = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 1)
-    grep = (rep_ids // D == rep_cols).astype(priors.dtype)  # (KD, K_pad)
+    gsum, grep = _group_mats(K_pad, D, dtype)
 
     # capsule-padding mask for the softmax (padded capsules -> -inf)
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
-    cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(priors.dtype)
+    cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(dtype)
 
     def squash_caps(s):
         """s: (KD, 1) summed votes -> squashed v (KD, 1)."""
@@ -92,7 +152,7 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
         probs = e / jnp.sum(e, axis=0, keepdims=True)      # (K_pad, N_pad)
         probs = probs * node_mask
         probs_rep = jnp.dot(grep, probs,
-                            preferred_element_type=priors.dtype,
+                            preferred_element_type=dtype,
                             precision=jax.lax.Precision.HIGHEST)
         s = jnp.sum(probs_rep * priors, axis=1, keepdims=True)  # (KD, 1)
         return squash_caps(s)
@@ -101,11 +161,11 @@ def _routing_kernel(priors_ref, out_ref, *, n_iter, K, D, K_pad, N):
         v = routed_outputs(logits)                         # (KD, 1)
         # agreement: delta[k, n] = sum_d priors[kD+d, n] * v[kD+d]
         delta = jnp.dot(gsum, priors * v,
-                        preferred_element_type=priors.dtype,
+                        preferred_element_type=dtype,
                         precision=jax.lax.Precision.HIGHEST)  # (K_pad, N_pad)
         return logits + delta
 
-    logits0 = jnp.zeros((K_pad, N_pad), priors.dtype)
+    logits0 = jnp.zeros((K_pad, N_pad), dtype)
     logits = jax.lax.fori_loop(0, n_iter - 1, body, logits0)
     v = routed_outputs(logits)                             # (KD, 1)
     out_ref[0] = v
@@ -116,50 +176,95 @@ def routed_capsules_pallas(x, route_weights, n_iter=3):
     """x (B, N, in_C), route_weights (N, K, in_C, D) -> caps (B, K, D).
 
     Equivalent to compute_priors + dynamic_routing (squeezed), with the
-    routing loop fused in VMEM.  Differentiable: the backward pass is a
-    second fused kernel that recomputes the routing iterations in VMEM
-    and emits d(priors); the chain to dx/dW is two XLA einsums.
+    votes product AND the routing loop fused in VMEM.  Differentiable:
+    the backward pass is a second fused kernel that recomputes the
+    routing in VMEM, emits dx per batch element, and accumulates dW
+    across the batch grid on-chip.
     """
-    return _routed_forward(x, route_weights, n_iter)
+    return _route(x, route_weights, n_iter)
 
 
-def _routing_bwd_kernel(priors_ref, gbar_ref, dp_ref, *, n_iter, K, D,
-                        K_pad, N):
-    """VJP of the routing loop wrt the (padded, transposed) priors.
+def _route(x, route_weights, n_iter, interpret=None):
+    """Operand-level forward: arrange operands, run the fused kernel."""
+    if interpret is None:
+        # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
+        interpret = jax.default_backend() != "tpu"
+    B, N, _ = x.shape
+    _, K, C, D = route_weights.shape
+    K_pad, N_pad = _pad_dims(N, K)
+    KD = K_pad * D
 
-    Recomputes the forward iterations in VMEM (storing only the tiny
-    per-iteration logits/v), then walks them in reverse:
+    x_t, w3 = _kernel_operands(x, route_weights)
+
+    kernel = functools.partial(
+        _routing_fwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, N_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map: the whole weight matrix stays resident
+            # in VMEM across the batch grid (fetched once)
+            pl.BlockSpec((C * KD, N_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KD, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, KD, 1), jnp.float32),
+        # resident weights (C*KD x N_pad f32) + the in-VMEM priors and
+        # routing temporaries exceed the 16MB default scoped-vmem limit
+        # at CapsuleNet size; raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_t, w3)
+
+    # caps stay f32 like the XLA path (promote_types of x and the f32
+    # route weights), regardless of the activation policy dtype
+    caps = out[:, :, 0].reshape(B, K_pad, D)[:, :K, :]
+    return caps
+
+
+def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
+                        n_iter, C, K, D, K_pad, N):
+    """Full VJP for one batch element, weights resident.
+
+    Recomputes the priors (votes FMA) and the forward iterations in
+    VMEM (storing only the tiny per-iteration logits/v), walks them in
+    reverse —
       * squash VJP (closed-form derivative of the scale),
       * weighted-node-sum VJP (gives both d(probs) and d(priors)),
       * masked softmax VJP over the capsule (sublane) axis,
       * agreement VJP (gives d(priors) and the previous iteration's
-        d(v)).
-    All broadcasts across the D sub-rows of a capsule use the same
-    gsum/grep constant matmuls as the forward kernel.
+        d(v)) —
+    then finishes the votes-matmul VJP on-chip:
+      dx[c, n]       = sum_kd W3[c*KD+kd, n] * dP[kd, n]   (ones-row MXU)
+      dW[c*KD+kd, n] += x[c, n] * dP[kd, n]                (accumulated
+    across the batch grid; dw_ref maps to the same block every step and
+    is flushed to HBM once at the end).
     """
     KD = K_pad * D
-    N_pad = priors_ref.shape[2]
-    priors = priors_ref[0]                                  # (KD, N_pad)
+    N_pad = x_ref.shape[2]
+    b = pl.program_id(0)
+
+    priors = _votes(x_ref, w_ref, C, KD)                    # (KD, N_pad)
+    dtype = priors.dtype
     gbar = gbar_ref[0]                                      # (KD, 1)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
-    node_mask = (lane_ids < N).astype(priors.dtype)
+    node_mask = (lane_ids < N).astype(dtype)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, KD), 1)
-    gsum = (col_ids // D == row_ids).astype(priors.dtype)   # (K_pad, KD)
-    rep_ids = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 0)
-    rep_cols = jax.lax.broadcasted_iota(jnp.int32, (KD, K_pad), 1)
-    grep = (rep_ids // D == rep_cols).astype(priors.dtype)  # (KD, K_pad)
+    gsum, grep = _group_mats(K_pad, D, dtype)
 
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
-    cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(priors.dtype)
+    cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(dtype)
 
     hi = jax.lax.Precision.HIGHEST
 
     def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=priors.dtype,
-                       precision=hi)
+        return jnp.dot(a, b, preferred_element_type=dtype, precision=hi)
 
     def softmax_probs(logits):
         shifted = logits + cap_neg
@@ -183,7 +288,7 @@ def _routing_bwd_kernel(priors_ref, gbar_ref, dp_ref, *, n_iter, K, D,
     # ---- forward recompute, keeping per-iteration logits and v ----
     logits_list = []
     v_list = []
-    L = jnp.zeros((K_pad, N_pad), priors.dtype)
+    L = jnp.zeros((K_pad, N_pad), dtype)
     for _ in range(n_iter - 1):
         logits_list.append(L)
         probs = softmax_probs(L)
@@ -195,9 +300,9 @@ def _routing_bwd_kernel(priors_ref, gbar_ref, dp_ref, *, n_iter, K, D,
     logits_list.append(L)
 
     # ---- reverse sweep ----
-    dP = jnp.zeros((KD, N_pad), priors.dtype)
+    dP = jnp.zeros((KD, N_pad), dtype)
     vbar = gbar
-    Lbar = jnp.zeros((K_pad, N_pad), priors.dtype)
+    Lbar = jnp.zeros((K_pad, N_pad), dtype)
     for i in range(n_iter - 1, -1, -1):
         L = logits_list[i]
         probs = softmax_probs(L)
@@ -223,116 +328,77 @@ def _routing_bwd_kernel(priors_ref, gbar_ref, dp_ref, *, n_iter, K, D,
             dP = dP + v_list[i - 1] * lrep
             # identity part of the sum: Lbar carries to L_{i-1}
 
-    dp_ref[0] = dP
+    # ---- votes-matmul VJP, on-chip ----
+    ones_row = jnp.ones((1, KD), dtype)
+    for c in range(C):
+        w_c = w_ref[c * KD:(c + 1) * KD, :]
+        dx_ref[0, c:c + 1, :] = jnp.dot(
+            ones_row, w_c * dP, preferred_element_type=dtype, precision=hi)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    for c in range(C):
+        dw_ref[c * KD:(c + 1) * KD, :] += x_ref[0, c:c + 1, :] * dP
 
 
-def _routed_backward_dp(priors, gbar, n_iter, K, D, K_pad, N,
-                        interpret=None):
-    """Run the backward kernel: (B,KD,N_pad), (B,KD,1) -> dP."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, KD, N_pad = priors.shape
+def _fwd(x, route_weights, n_iter):
+    return _route(x, route_weights, n_iter), (x, route_weights)
+
+
+def _bwd(n_iter, residuals, g):
+    """Fused-kernel VJP — see _routing_bwd_kernel.  Only the small dx
+    and weight-sized dW outputs cross the HBM boundary; they are
+    sliced/rearranged back to operand shapes here (cheap)."""
+    x, route_weights = residuals
+    interpret = jax.default_backend() != "tpu"
+    B, N, _ = x.shape
+    _, K, C, D = route_weights.shape
+    K_pad, N_pad = _pad_dims(N, K)
+    KD = K_pad * D
+
+    x_t, w3 = _kernel_operands(x, route_weights)
+
+    gbar = jnp.pad(g.astype(jnp.float32),
+                   ((0, 0), (0, K_pad - K), (0, 0)))
+    gbar = gbar.reshape(B, KD, 1)
 
     kernel = functools.partial(
-        _routing_bwd_kernel, n_iter=n_iter, K=K, D=D, K_pad=K_pad, N=N)
-    return pl.pallas_call(
+        _routing_bwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N)
+
+    dx_t, dw3 = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, KD, N_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, C, N_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * KD, N_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KD, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, KD, N_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, KD, N_pad), priors.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=interpret,
-    )(priors, gbar)
-
-
-def _priors_transposed(x, route_weights):
-    """Votes in kernel layout (B, K, D, N) (transpose fused into einsum)."""
-    return jnp.einsum(
-        "bni,nkio->bkon", x, route_weights,
-        preferred_element_type=jnp.promote_types(x.dtype, route_weights.dtype),
-    )
-
-
-def _routed_forward(x, route_weights, n_iter, interpret=None):
-    if interpret is None:
-        # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
-        interpret = jax.default_backend() != "tpu"
-    B, N, _ = x.shape
-    _, K, _, D = route_weights.shape
-    # K padded so the group matmul rows stay tiny yet sublane-aligned
-    K_pad = max(_round_up(K, 8), 8)
-    N_pad = _round_up(N, 128)
-    KD = K_pad * D
-
-    priors = _priors_transposed(x, route_weights)          # (B, K, D, N)
-    priors = jnp.pad(
-        priors, ((0, 0), (0, K_pad - K), (0, 0), (0, N_pad - N)))
-    priors = priors.reshape(B, KD, N_pad)
-
-    kernel = functools.partial(
-        _routing_kernel, n_iter=n_iter, K=K, D=D, K_pad=K_pad, N=N)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, KD, N_pad), lambda i: (i, 0, 0),
+        out_specs=[
+            pl.BlockSpec((1, C, N_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map: the dW accumulator stays resident in
+            # VMEM across the batch grid and is written out once
+            pl.BlockSpec((C * KD, N_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, KD, 1), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, KD, 1), priors.dtype),
-        # the double-buffered priors block (2 x KD x N_pad f32) plus
-        # elementwise temporaries slightly exceed the 16MB default
-        # scoped-vmem limit at CapsuleNet size; raise it
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, N_pad), jnp.float32),
+            jax.ShapeDtypeStruct((C * KD, N_pad), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(priors)
+    )(x_t, w3, gbar)
 
-    caps = out[:, :, 0].reshape(B, K_pad, D)[:, :K, :]
-    return caps
-
-
-def _fwd(x, route_weights, n_iter):
-    return _routed_forward(x, route_weights, n_iter), (x, route_weights)
-
-
-def _bwd(n_iter, residuals, g):
-    """Fused-kernel VJP: recompute priors (one einsum), run the
-    backward routing kernel for d(priors), then chain to dx/dW with
-    two einsums (the VJP of the votes matmul)."""
-    x, route_weights = residuals
-    B, N, _ = x.shape
-    _, K, _, D = route_weights.shape
-    K_pad = max(_round_up(K, 8), 8)
-    N_pad = _round_up(N, 128)
-    KD = K_pad * D
-
-    priors = _priors_transposed(x, route_weights)
-    priors = jnp.pad(
-        priors, ((0, 0), (0, K_pad - K), (0, 0), (0, N_pad - N)))
-    priors = priors.reshape(B, KD, N_pad)
-
-    gbar = jnp.pad(g, ((0, 0), (0, K_pad - K), (0, 0)))
-    gbar = gbar.reshape(B, KD, 1)
-
-    dp = _routed_backward_dp(priors, gbar, n_iter, K, D, K_pad, N)
-    dp = dp.reshape(B, K_pad, D, N_pad)[:, :K, :, :N]       # (B, K, D, N)
-
-    dx = jnp.einsum("bkdn,nkid->bni", dp, route_weights,
-                    preferred_element_type=x.dtype)
-    dw = jnp.einsum("bni,bkdn->nkid", x, dp,
-                    preferred_element_type=route_weights.dtype)
-    return dx, dw
+    dx = jnp.transpose(dx_t[:, :, :N], (0, 2, 1)).astype(x.dtype)
+    dw = dw3.reshape(C, K_pad, D, N_pad)
+    dw = jnp.transpose(dw, (3, 1, 0, 2))[:N, :K]       # (N, K, C, D)
+    return dx, dw.astype(route_weights.dtype)
 
 
 def routed_capsules_xla_bwd(x, route_weights, n_iter=3):

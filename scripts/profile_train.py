@@ -97,6 +97,11 @@ def main():
         return
     tp = files[-1]
     dur, cnt = device_op_times(tp)
+    # Drop the per-step span markers (named "0","1",...) and whole-module
+    # spans (jit_*): they cover the entire step, so counting them doubles
+    # (triples) the total against the per-op track.
+    for name in [n for n in dur if n.isdigit() or n.startswith("jit_")]:
+        del dur[name], cnt[name]
     steps = max(cnt.values()) if cnt else 1
     total = sum(dur.values())
     print(f"trace: {tp}")

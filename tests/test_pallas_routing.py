@@ -25,7 +25,7 @@ def test_pallas_parity_capsulenet_shape(rng):
     x = rng.randn(B, N, in_c).astype(np.float32)
     w = (0.1 * rng.randn(N, K, in_c, D)).astype(np.float32)
 
-    ours = np.asarray(RP._routed_forward(
+    ours = np.asarray(RP._route(
         jnp.asarray(x), jnp.asarray(w), 3, interpret=True))
     ref = _xla(x, w)
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
@@ -37,7 +37,7 @@ def test_pallas_parity_darkcapsule_shape(rng):
     x = rng.randn(B, N, in_c).astype(np.float32)
     w = (0.1 * rng.randn(N, K, in_c, D)).astype(np.float32)
 
-    ours = np.asarray(RP._routed_forward(
+    ours = np.asarray(RP._route(
         jnp.asarray(x), jnp.asarray(w), 3, interpret=True))
     ref = _xla(x, w)
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
