@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.capsule import squash, compute_priors, dynamic_routing, capsule_norm
+from ..ops.capsule import (
+    squash,
+    compute_priors,
+    dynamic_routing,
+    routed_single_capsule,
+    capsule_norm,
+)
 from .init import routing_weights_init, torch_kernel_init, torch_bias_init
 from .layers import torch_conv, ReconDecoder
 
@@ -78,6 +84,13 @@ class CapsuleRouting(nn.Module):
             routing_weights_init,
             (self.n_nodes, self.n_caps, self.in_c, self.out_c),
         )
+        if self.n_caps == 1:
+            # closed form: the routing softmax is over a singleton axis
+            # so the whole loop is squash(sum_n priors), one fused
+            # contraction — see ops.capsule.routed_single_capsule.
+            # Applies to DarkCapsuleNet (reference models.py:368-370);
+            # supersedes the pallas/xla choice for this shape.
+            return routed_single_capsule(x, w)
         if self.impl == "pallas":
             from ..ops.routing_pallas import routed_capsules_pallas
 

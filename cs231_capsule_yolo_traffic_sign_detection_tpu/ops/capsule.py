@@ -93,6 +93,34 @@ def dynamic_routing(priors, n_iter=3):
     return one_iter(logits)
 
 
+def routed_single_capsule(x, route_weights, accum_dtype=None):
+    """Closed form of dynamic routing for n_caps == 1.
+
+    With a single output capsule the routing softmax normalizes over a
+    singleton axis (reference models.py:74, `F.softmax(logits, dim=2)`
+    with n_caps == 1, as instantiated by DarkCapsuleNet at
+    models.py:368-370), so `probs == 1` identically and every iteration
+    returns the same `squash(sum_n priors)`; the agreement update
+    changes the logits but can never change the probs.  The whole
+    3-iteration loop therefore reduces algebraically to ONE contraction
+    (the node-sum fused into the votes matmul — the (B, N, 1, D) priors
+    tensor is never materialized) followed by a squash.  Numerics match
+    the loop up to f32 summation order.
+
+    Args:
+      x: (batch, n_nodes, in_C).
+      route_weights: (n_nodes, 1, in_C, out_C).
+
+    Returns:
+      (batch, 1, out_C) squashed output capsule — same as
+      `dynamic_routing(compute_priors(x, w))[:, 0]`.
+    """
+    pt = accum_dtype or jnp.promote_types(x.dtype, route_weights.dtype)
+    s = jnp.einsum("bni,nkio->bko", x, route_weights,
+                   preferred_element_type=pt)
+    return squash(s)
+
+
 def capsule_norm(caps, axis=-1):
     """Capsule length ||v||_2 — the class score (reference models.py:117)."""
     return jnp.sqrt(jnp.sum(caps * caps, axis=axis))

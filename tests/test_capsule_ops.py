@@ -64,3 +64,22 @@ def test_routing_matches_torch_formulas(rng):
 def test_capsule_norm():
     v = jnp.array([[[3.0, 4.0]]])
     np.testing.assert_allclose(np.asarray(C.capsule_norm(v)), [[5.0]])
+
+
+def test_single_capsule_closed_form_matches_loop(rng):
+    """n_caps==1 (DarkCapsuleNet's head, reference models.py:368-370):
+    the routing softmax is over a singleton axis, so the full
+    3-iteration loop must equal squash(sum_n priors) — the closed form
+    routed_single_capsule computes with one fused contraction."""
+    batch, nodes, in_c, out_c = 4, 512, 8, 5
+    x = rng.randn(batch, nodes, in_c).astype(np.float64)
+    w = 0.1 * rng.randn(nodes, 1, in_c, out_c).astype(np.float64)
+
+    priors = C.compute_priors(jnp.asarray(x), jnp.asarray(w))
+    loop = np.asarray(C.dynamic_routing(priors, n_iter=3)[:, 0])
+    closed = np.asarray(C.routed_single_capsule(jnp.asarray(x),
+                                                jnp.asarray(w)))
+    np.testing.assert_allclose(closed, loop, rtol=1e-12, atol=1e-14)
+    # and against the executing torch reference formulas
+    theirs = _torch_routing(x, w, n_iter=3)[:, 0]
+    np.testing.assert_allclose(closed, theirs, rtol=1e-10, atol=1e-12)
