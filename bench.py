@@ -139,9 +139,19 @@ def bench_tpu(dtype="float32"):
     # in HBM).
     def step(variables, x):
         if dtype == "int8":
-            y = quant.darknet_int8_apply(
-                variables, x.astype(jnp.float32),
-                n_boxes=N_BOXES, n_classes=N_CLASSES)
+            # static scales -> int8-resident chain (inter-layer
+            # activations stay int8 in HBM; bit-identical to the
+            # layer-wise static path, tests/test_quant.py).
+            # BENCH_INT8_LAYERWISE=1 A/Bs the f32-resident variant.
+            if ("act_scales" in variables
+                    and not os.environ.get("BENCH_INT8_LAYERWISE")):
+                y = quant.darknet_int8_resident_apply(
+                    variables, x.astype(jnp.float32),
+                    n_boxes=N_BOXES, n_classes=N_CLASSES)
+            else:
+                y = quant.darknet_int8_apply(
+                    variables, x.astype(jnp.float32),
+                    n_boxes=N_BOXES, n_classes=N_CLASSES)
         elif serving in ("pallas", "fused", "s2d", "folded"):
             y = in_stage.darknet_serving_apply(
                 variables, x, n_boxes=N_BOXES, n_classes=N_CLASSES,

@@ -30,7 +30,10 @@ def resolve_routing_impl(impl, model=None):
     wins 1.7x fwd / 2.4x fwd+bwd with ~5e-7 parity, so it is the TPU
     default for 'capsule'.  At the darkcapsule shape (512 nodes -> 1
     cap x 5 dims per grid cell) the tiny contraction is XLA-friendly
-    and the kernel LOSES ~3-4x, so 'auto' keeps XLA there.  On CPU/GPU
+    and the kernel LOSES ~3-4x, so 'auto' keeps XLA there.  (With a
+    single output capsule CapsuleRouting now short-circuits to the
+    closed form ops.capsule.routed_single_capsule regardless of this
+    choice — the impl only governs the n_caps > 1 shapes.)  On CPU/GPU
     backends interpret-mode Pallas would be far slower than XLA, so
     'auto' keeps XLA off-TPU.  Explicit 'pallas'/'xla' always wins.
     """

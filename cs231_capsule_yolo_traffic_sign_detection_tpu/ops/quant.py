@@ -137,6 +137,56 @@ def _quant_tensor(x):
     return xq, s
 
 
+def _max_pool_int8(z):
+    """2x2/2 max-pool directly in the int8 domain.
+
+    Exact vs pooling the f32 activation first: requantization is
+    clip(round(a / s)) with s > 0 — a monotone non-decreasing map — so
+    it commutes with max.
+    """
+    return jax.lax.reduce_window(
+        z, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+def darknet_int8_resident_apply(qparams, x, *, n_boxes, n_classes):
+    """int8-resident forward: inter-layer activations stay int8 in HBM.
+
+    Requires static `act_scales` (calibrated quantization).  Each
+    layer's requantization moves from the *input* of conv i+1 to the
+    *output* of layer i, fused by XLA into the conv epilogue: the
+    tensor written back to HBM is int8 instead of f32 — 4x less
+    activation bandwidth than `darknet_int8_apply` (2x less than bf16
+    serving) on a pipeline BASELINE.md measured to be
+    activation-bandwidth bound.  Max-pooling runs on the int8 tensor
+    (`_max_pool_int8`, exact).  Produces BIT-IDENTICAL results to the
+    static-scale `darknet_int8_apply`: every conv sees the same int8
+    input bytes, every epilogue computes the same f32 expression
+    (tests/test_quant.py pins the equality).
+    """
+    act_scales = qparams["act_scales"]
+    layers = qparams["layers"]
+    n = len(DARKNET_LAYERS)
+    s0 = act_scales[0]
+    z = jnp.clip(jnp.round(x.astype(jnp.float32) / s0),
+                 -127, 127).astype(jnp.int8)
+    for i, ((feats, k, after), L) in enumerate(zip(DARKNET_LAYERS, layers)):
+        acc = _conv(z, L["wq"], k, accum_dtype=jnp.int32)
+        sx = act_scales[i]
+        a = jax.nn.leaky_relu(
+            acc.astype(jnp.float32) * (sx * L["ws"]) + L["b"], 0.1)
+        if i + 1 < n:
+            z = jnp.clip(jnp.round(a / act_scales[i + 1]),
+                         -127, 127).astype(jnp.int8)
+            if after == "mp":
+                z = _max_pool_int8(z)
+        else:
+            x = a  # last quantized layer: stay f32 for the head
+    out = _conv(x, qparams["head"], 1)
+    return _head(out, n_boxes, n_classes)
+
+
 def darknet_int8_apply(qparams, x, *, n_boxes, n_classes):
     """int8 inference forward: s8 x s8 -> s32 convs, f32 activations.
 

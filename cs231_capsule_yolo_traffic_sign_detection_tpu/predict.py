@@ -119,7 +119,10 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
             variables = jax.device_put(
                 variables, par.replicated_sharding(mesh))
         nb, nc = int(params.n_boxes), int(params.n_classes)
-        step = jax.jit(lambda q, xb: quant.darknet_int8_apply(
+        # static scales admit the int8-resident chain: inter-layer
+        # activations stay int8 in HBM (bit-identical outputs,
+        # tests/test_quant.py)
+        step = jax.jit(lambda q, xb: quant.darknet_int8_resident_apply(
             q, xb, n_boxes=nb, n_classes=nc))
 
     y_hat_dev = _batched_forward(step, variables, x, params.batch_size, mesh)

@@ -114,6 +114,33 @@ def test_weight_quant_error_bounded(darknet_setup):
         assert (err <= 0.5 * step[None, None, None, :] + 1e-8).all()
 
 
+def test_int8_resident_bit_identical_to_static(darknet_setup):
+    """The int8-resident chain (requant fused at each layer's OUTPUT,
+    int8-domain pooling) must produce bit-identical results to the
+    static-scale layer-wise path: requantization is a monotone map, so
+    it commutes with max-pool, and every conv sees the same int8 bytes."""
+    model, variables, x, _ = darknet_setup
+    q = quant.quantize_darknet(variables, x_cal=x)
+    y_static = quant.darknet_int8_apply(q, x, n_boxes=1, n_classes=43)
+    y_res = quant.darknet_int8_resident_apply(q, x, n_boxes=1, n_classes=43)
+    assert np.array_equal(np.asarray(y_static), np.asarray(y_res))
+
+
+def test_int8_resident_jits(darknet_setup):
+    model, variables, x, _ = darknet_setup
+    q = quant.quantize_darknet(variables, x_cal=x)
+
+    @jax.jit
+    def f(q, x):
+        return quant.darknet_int8_resident_apply(
+            q, x, n_boxes=1, n_classes=43)
+
+    y1 = f(q, x)
+    y2 = quant.darknet_int8_resident_apply(q, x, n_boxes=1, n_classes=43)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_int8_calibrated_matches_dynamic_bands(darknet_setup):
     """Static calibrated activation scales: on the calibration data
     itself there is no saturation, so accuracy matches the dynamic
