@@ -49,11 +49,14 @@ class DarkCapsuleNet(nn.Module):
     n_grid: int = 7
     routing_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None  # conv stack only; routing is f32
+    remat: bool = False  # rematerialize conv blocks (see DarkNet.remat)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         g = self.n_grid
+        block_cls = (nn.remat(ConvBNLeaky, static_argnums=(2,))
+                     if self.remat else ConvBNLeaky)
         # 5-layer conv stack, stride 8 total (reference models.py:346-365)
         specs = [
             (128, 3, (1, 1)),
@@ -63,11 +66,11 @@ class DarkCapsuleNet(nn.Module):
             (256, 4, (2, 2)),
         ]
         for i, (feats, k, s) in enumerate(specs, start=1):
-            x = ConvBNLeaky(
+            x = block_cls(
                 feats, kernel=(k, k), strides=s, padding=1, use_bias=True,
                 negative_slope=0.1, bn_momentum=0.9, name_idx=i,
                 name=f"block_{i}", dtype=self.dtype,
-            )(x, train=train)
+            )(x, train)
 
         # NOTE: the reference feeds raw conv features into routing with
         # no squash (models.py:398) — routing mode never squashes its

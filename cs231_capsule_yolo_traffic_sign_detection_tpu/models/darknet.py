@@ -52,13 +52,23 @@ class DarkNet(nn.Module):
     n_classes: int = 0
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
+    remat: bool = False  # rematerialize conv blocks in the backward pass
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        # --remat: wrap each conv block in jax.checkpoint so only the
+        # block boundaries stay live for the backward pass (the
+        # BN/LeakyReLU intermediates inside a block are recomputed).
+        # Trades ~one extra forward of block FLOPs for roughly half the
+        # activation memory at 448px — the lever for batches past the
+        # plain-path HBM limit.  The module instance counts as argument
+        # 0 of the lifted __call__, so `train` is static arg 2.
+        block_cls = (nn.remat(ConvBNLeaky, static_argnums=(2,))
+                     if self.remat else ConvBNLeaky)
         for i, (feats, k, after) in enumerate(DARKNET_LAYERS, start=1):
-            x = ConvBNLeaky(
+            x = block_cls(
                 feats,
                 kernel=(k, k),
                 padding=1 if k == 3 else 0,
@@ -69,7 +79,7 @@ class DarkNet(nn.Module):
                 name_idx=i,
                 name=f"block_{i}",
                 dtype=self.dtype,
-            )(x, train=train)
+            )(x, train)
             if after == "mp":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
 

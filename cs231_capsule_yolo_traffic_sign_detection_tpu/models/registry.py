@@ -86,12 +86,13 @@ def build_model(params, routing_impl=None):
     if name == "capsule":
         return CapsuleNet(n_classes=params.n_classes, routing_impl=impl,
                           dtype=dtype)
+    remat = bool(params.get("remat", False))
     if name in ("darknet_d", "darknet_r"):
         return DarkNet(
             n_boxes=params.n_boxes, n_classes=params.n_classes,
-            dropout=dropout, dtype=dtype,
+            dropout=dropout, dtype=dtype, remat=remat,
         )
     if name == "darkcapsule":
         return DarkCapsuleNet(n_grid=params.n_grid, routing_impl=impl,
-                              dtype=dtype)
+                              dtype=dtype, remat=remat)
     raise ValueError(f"unknown model {name!r}")

@@ -74,6 +74,12 @@ parser.add_argument('--scan_epoch', nargs='?', const='on', default='auto',
                          'and math to the per-batch loop).  auto (default) = '
                          'on when running on TPU (measured 4.5x per-epoch '
                          'wall), off elsewhere; bare --scan_epoch = on')
+parser.add_argument('--remat', default=False, action='store_true',
+                    help='rematerialize detector conv blocks in the backward '
+                         'pass (jax.checkpoint): ~half the activation memory '
+                         'for ~one extra forward of block FLOPs — unlocks '
+                         'batches past the plain-path HBM limit; identical '
+                         'math (gradients bit-equal, tests/test_remat.py)')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '
@@ -109,6 +115,7 @@ def load_params(model_dir, args, with_writer=True):
     params.compute_dtype = args.dtype
     params.scan_epoch = args.scan_epoch
     params.stream = args.stream
+    params.remat = args.remat
     # reference quirk: --summary's default makes it always true
     # (main.py:25); wired through regardless so the flag is honored
     params.summary = bool(args.summary)

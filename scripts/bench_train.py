@@ -6,8 +6,9 @@ Timing via device-scalar fetch (see bench.py for why: over the
 tunneled backend only a D2H fetch actually waits).
 
 Usage:
-    python scripts/bench_train.py [model|all] [batch] [dtype]
+    python scripts/bench_train.py [model|all] [batch] [dtype] [remat]
     # e.g. python scripts/bench_train.py all 32 bfloat16
+    # e.g. python scripts/bench_train.py darknet_r 256 bfloat16 remat
 """
 
 import json
@@ -40,13 +41,13 @@ CONFIGS = {
 }
 
 
-def bench_one(model, batch, dtype="float32", iters=10):
+def bench_one(model, batch, dtype="float32", iters=10, remat=False):
     kw = dict(
         model=model, batch_size=batch, lr_runtime=1e-3, lr_decay=0.1,
         n_epochs=1, eval_every=1, train_frac=1, recon=True,
         recon_coef=5e-4, dropout=0.0, l_coord=5.0, l_noobj=0.5,
         n_boxes=2, n_grid=14, darknet_input=448, capsule_input=32,
-        compute_dtype=dtype,
+        compute_dtype=dtype, remat=remat,
     )
     kw.update(CONFIGS[model])
     p = Params(**kw)
@@ -80,14 +81,17 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "darknet_r"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    remat = len(sys.argv) > 4 and sys.argv[4] in ("remat", "1", "true")
 
     models = list(CONFIGS) if model == "all" else [model]
     results = []
     for m in models:
         try:
-            r = bench_one(m, batch, dtype)
+            r = bench_one(m, batch, dtype, remat=remat)
+            r["remat"] = remat
         except Exception as e:  # e.g. OOM at large batch: keep going
             print(json.dumps({"model": m, "batch": batch, "dtype": dtype,
+                              "remat": remat,
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
             continue
