@@ -153,9 +153,13 @@ def test_cli_scan_epoch_flag(tmp_path):
     }))
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
+        # --mesh off: the subprocess inherits the harness's 8-virtual-
+        # device XLA_FLAGS, and an 8-way mesh on this 1-core box can
+        # push the run past the timeout; the scan+mesh composition has
+        # its own test (test_scan_epoch_composes_with_mesh)
         "import sys; sys.argv = ['main.py', '--model', 'cnn', '--mode',"
         " 'train', '--no_metric', '--train_frac', '0.1',"
-        " '--model_dir', %r, '--scan_epoch'];"
+        " '--model_dir', %r, '--scan_epoch', '--mesh', 'off'];"
         "sys.path.insert(0, %r);"
         "import main; main.main()" % (str(d), REPO)
     )
