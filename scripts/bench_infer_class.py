@@ -40,11 +40,16 @@ def build(model_name):
     from cs231_capsule_yolo_traffic_sign_detection_tpu.models.registry \
         import resolve_routing_impl
 
+    # BENCH_DTYPE=bfloat16 serves the conv stacks bf16 (MXU-native);
+    # squash/routing stay f32 inside the modules regardless (same
+    # policy as training).  Default f32 = exact reference numerics.
+    dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        os.environ.get("BENCH_DTYPE", "float32"))
     if model_name == "cnn":
-        model = ConvNet(n_classes=43, dropout=0.0)
+        model = ConvNet(n_classes=43, dropout=0.0, dtype=dtype)
     else:
         model = CapsuleNet(
-            n_classes=43,
+            n_classes=43, dtype=dtype,
             routing_impl=resolve_routing_impl("auto", model="capsule"))
     x0 = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
     variables = model.init(
