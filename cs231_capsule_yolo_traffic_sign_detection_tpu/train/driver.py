@@ -137,6 +137,21 @@ class Trainer:
         self.device_data = (bool(params.get("device_data", True))
                             and not self.stream)
         self._data_cache = {}
+        # Under the bf16 policy the model's first op casts x to bf16
+        # (models/darknet.py:60 etc.); storing the HBM-resident dataset
+        # bf16 makes that cast a no-op with bit-identical values (same
+        # f32->bf16 rounding, applied once at placement instead of
+        # every step).  The train-step device profile measured the
+        # per-step input convert at ~4.3 ms/step for darknet_r@b128 —
+        # and XLA clones it into the conv1 dW fusion, so it was paid
+        # twice.  Halves the dataset HBM footprint too.  capsule keeps
+        # f32: its reconstruction loss consumes x directly in f32.
+        import jax.numpy as jnp
+
+        self._x_dtype = jnp.float32
+        if (getattr(self.model, "dtype", None) == jnp.bfloat16
+                and not self.needs_labels):
+            self._x_dtype = jnp.bfloat16
 
         # --scan_epoch: whole-epoch lax.scan programs (one dispatch per
         # epoch per distinct batch size).  Identical batch composition,
@@ -171,7 +186,7 @@ class Trainer:
         if key not in self._data_cache:
             for stale in [k for k in self._data_cache if k[0] == tag]:
                 del self._data_cache[stale]
-            arr = jnp.asarray(x, jnp.float32)
+            arr = jnp.asarray(x, self._x_dtype)
             if self.mesh is not None:
                 # replicate the dataset: permuted batch gathers then
                 # slice locally with no collectives; batches are

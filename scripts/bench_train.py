@@ -53,7 +53,9 @@ def bench_one(model, batch, dtype="float32", iters=10, remat=False):
     p = Params(**kw)
     trainer = Trainer(p, verbose=False)
     x, y, _, _ = synthetic_dataset(model, p, n_train=batch, n_eval=1)
-    x = jnp.asarray(x[:batch], jnp.float32)
+    # match the driver's HBM-resident dataset dtype (bf16-resident
+    # batches under the bf16 policy — the model's entry cast is a no-op)
+    x = jnp.asarray(x[:batch], trainer._x_dtype)
     y = jnp.asarray(y[:batch])
 
     t0 = time.perf_counter()

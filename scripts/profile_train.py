@@ -61,7 +61,9 @@ def main():
     p = Params(**kw)
     trainer = Trainer(p, verbose=False)
     x, y, _, _ = synthetic_dataset(model, p, n_train=batch, n_eval=1)
-    x = jnp.asarray(x[:batch], jnp.float32)
+    # match the driver's HBM-resident dataset dtype (bf16-resident
+    # under the bf16 policy, train/driver.py _x_dtype)
+    x = jnp.asarray(x[:batch], trainer._x_dtype)
     y = jnp.asarray(y[:batch])
 
     t0 = time.perf_counter()

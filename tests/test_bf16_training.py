@@ -74,3 +74,32 @@ def test_bf16_darknet_loss_finite():
                      n_boxes=1)
     assert np.isfinite(bf16).all()
     assert bf16[-1] < bf16[0]
+
+
+def test_bf16_resident_batches_match_host_f32_batches():
+    """Under the bf16 policy the HBM-resident dataset is stored bf16
+    (driver._x_dtype): the model's entry cast becomes a no-op with
+    IDENTICAL values (the f32->bf16 rounding happens once at placement
+    instead of every step), so the loss trajectory must be bit-equal to
+    the host-f32-batches path where the step does the cast itself."""
+
+    def run(device_data):
+        losses, _ = _train("cnn", "bfloat16", n_epochs=3,
+                           device_data=device_data)
+        return losses
+
+    a = run(True)    # bf16-resident device dataset
+    b = run(False)   # host f32 batches, cast inside the jitted step
+    assert a == b, (a, b)
+
+
+def test_x_dtype_policy_gating():
+    import jax.numpy as jnp
+
+    _, t_cnn = _train("cnn", "bfloat16", n_epochs=1)
+    assert t_cnn._x_dtype == jnp.bfloat16
+    _, t_f32 = _train("cnn", "float32", n_epochs=1)
+    assert t_f32._x_dtype == jnp.float32
+    # capsule's reconstruction loss consumes x in f32 -> stays f32
+    _, t_cap = _train("capsule", "bfloat16", n_epochs=1, n=8, batch=4)
+    assert t_cap._x_dtype == jnp.float32
