@@ -72,6 +72,30 @@ def tpu_available(attempts=3, timeout_s=480):
     return False
 
 
+def device_chain_seconds(pipeline_n, args, warmups=1, rtt_samples=3):
+    """Wall seconds of ONE `pipeline_n(*args)` dispatch, fetch-RTT
+    subtracted.
+
+    Over the tunneled backend only a D2H fetch actually waits, so the
+    chain is timed by fetching its scalar result; the RTT of re-fetching
+    an already-computed scalar is measured and subtracted.  Shared by
+    bench.py and scripts/bench_latency.py so the methodology cannot
+    silently diverge.
+    """
+    ready = None
+    for _ in range(warmups):
+        ready = pipeline_n(*args)
+        _ = float(ready)
+    t0 = time.perf_counter()
+    for _ in range(rtt_samples):
+        _ = float(ready)
+    rtt = (time.perf_counter() - t0) / rtt_samples
+
+    t0 = time.perf_counter()
+    _ = float(pipeline_n(*args))
+    return time.perf_counter() - t0 - rtt
+
+
 def bench_tpu(dtype="float32"):
     import jax
 
@@ -223,13 +247,10 @@ def bench_tpu(dtype="float32"):
         f"(rtt {rtt*1e3:.1f}ms) -> {ips_dispatch:.1f} img/s")
 
     # device-loop measurement (one dispatch, ITERS steps on device)
-    _ = float(pipeline_n(variables, x))          # compile + warmup
-    t0 = time.perf_counter()
-    v = float(pipeline_n(variables, x))
-    dt = time.perf_counter() - t0 - rtt
+    dt = device_chain_seconds(pipeline_n, (variables, x))
     ips_device = BATCH * ITERS / dt
     log(f"[bench] tpu device-loop: {ITERS} x batch {BATCH} in {dt:.3f}s -> "
-        f"{ips_device:.1f} img/s (checksum {v:.2f})")
+        f"{ips_device:.1f} img/s")
     return max(ips_dispatch, ips_device)
 
 

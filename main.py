@@ -78,8 +78,9 @@ parser.add_argument('--remat', default=False, action='store_true',
                     help='rematerialize detector conv blocks in the backward '
                          'pass (jax.checkpoint): ~half the activation memory '
                          'for ~one extra forward of block FLOPs — unlocks '
-                         'batches past the plain-path HBM limit; identical '
-                         'math (gradients bit-equal, tests/test_remat.py)')
+                         'batches past the plain-path HBM limit; same math '
+                         '(gradients match the plain path to float tolerance, '
+                         'tests/test_remat.py)')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '

@@ -43,8 +43,15 @@ def build(model_name):
     # BENCH_DTYPE=bfloat16 serves the conv stacks bf16 (MXU-native);
     # squash/routing stay f32 inside the modules regardless (same
     # policy as training).  Default f32 = exact reference numerics.
-    dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
-        os.environ.get("BENCH_DTYPE", "float32"))
+    # Unknown values are an error, not a silent f32 fallback.
+    name = os.environ.get("BENCH_DTYPE", "float32").lower()
+    if name in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
+    elif name in ("float32", "f32"):
+        dtype = None
+    else:
+        raise SystemExit(f"BENCH_DTYPE={name!r} not supported here "
+                         "(float32 | bfloat16)")
     if model_name == "cnn":
         model = ConvNet(n_classes=43, dropout=0.0, dtype=dtype)
     else:
@@ -151,6 +158,7 @@ def main():
     except Exception as e:
         log(f"[bench_class] compilation cache unavailable: {e}")
 
+    dtype = os.environ.get("BENCH_DTYPE", "float32").lower()
     for m in models:
         ips = measure(m)
         base = reference_cpu(m)
@@ -158,6 +166,8 @@ def main():
             "metric": f"gtsrb_{m}_inference_throughput",
             "value": round(ips, 2),
             "unit": "img/s",
+            "dtype": dtype,  # bf16 rows must be distinguishable from f32
+            "batch": BATCH,
             "vs_baseline": round(ips / base, 2) if base else -1.0,
         }))
 

@@ -24,14 +24,35 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import bench  # noqa: E402  (shared device-loop timing methodology)
+
 SIZE = 448
 N_BOXES = 1
 N_CLASSES = 43
 ITERS = 20
 
+DTYPES = ("bfloat16", "float32", "int8")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def parse_args(argv):
+    """[batches...] [--dtype bf16|f32|int8 | --dtype=...] -> (batches,
+    dtype).  Unknown dtypes are an error, not a silent f32 run."""
+    batches, dtype = [], "bfloat16"
+    it = iter(argv)
+    for a in it:
+        if a.startswith("--dtype"):
+            v = a.split("=", 1)[1] if "=" in a else next(it, "")
+            dtype = {"bf16": "bfloat16", "f32": "float32"}.get(v, v)
+            if dtype not in DTYPES:
+                raise SystemExit(
+                    f"unknown dtype {v!r} (want bf16|f32|int8)")
+        else:
+            batches.append(int(a))
+    return (batches or [1, 8, 32, 128]), dtype
 
 
 def bench_batch(batch, dtype="bfloat16"):
@@ -84,20 +105,10 @@ def bench_batch(batch, dtype="bfloat16"):
         x = x.astype(jnp.bfloat16)
 
     t0 = time.perf_counter()
-    _ = float(pipeline_n(variables, x))
-    log(f"[latency] b={batch} compile+first: {time.perf_counter()-t0:.1f}s")
-    _ = float(pipeline_n(variables, x))  # warm
-
-    ready = pipeline_n(variables, x)
-    _ = float(ready)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(ready)
-    rtt = (time.perf_counter() - t0) / 3
-
-    t0 = time.perf_counter()
     v = float(pipeline_n(variables, x))
-    dt = time.perf_counter() - t0 - rtt
+    log(f"[latency] b={batch} compile+first: {time.perf_counter()-t0:.1f}s")
+
+    dt = bench.device_chain_seconds(pipeline_n, (variables, x))
     ms = dt / ITERS * 1e3
     return {"batch": batch, "dtype": dtype,
             "ms_per_batch": round(ms, 3),
@@ -107,13 +118,7 @@ def bench_batch(batch, dtype="bfloat16"):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    dtype = "bfloat16"
-    for a in sys.argv[1:]:
-        if a.startswith("--dtype"):
-            dtype = {"bf16": "bfloat16", "f32": "float32"}.get(
-                a.split("=")[-1], a.split("=")[-1])
-    batches = [int(a) for a in args] or [1, 8, 32, 128]
+    batches, dtype = parse_args(sys.argv[1:])
 
     import jax
     try:

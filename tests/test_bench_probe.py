@@ -89,3 +89,38 @@ def test_probe_gives_up_after_all_attempts(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "Popen",
                         lambda *a, **k: _FakeProc(["fail"]))
     assert bench.tpu_available(attempts=2, timeout_s=1) is False
+
+
+def test_bench_latency_parse_args():
+    import importlib
+    import pytest
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        bl = importlib.import_module("bench_latency")
+    finally:
+        sys.path.remove(os.path.join(REPO, "scripts"))
+
+    assert bl.parse_args([]) == ([1, 8, 32, 128], "bfloat16")
+    assert bl.parse_args(["1", "8"]) == ([1, 8], "bfloat16")
+    # both --dtype forms; short names normalized
+    assert bl.parse_args(["4", "--dtype=f32"]) == ([4], "float32")
+    assert bl.parse_args(["--dtype", "bf16", "2"]) == ([2], "bfloat16")
+    assert bl.parse_args(["--dtype=int8"])[1] == "int8"
+    # unknown dtype is an error, never a silent f32 run
+    with pytest.raises(SystemExit):
+        bl.parse_args(["--dtype=float16"])
+
+
+def test_bench_infer_class_rejects_unknown_dtype(monkeypatch):
+    import importlib
+    import pytest
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        bic = importlib.import_module("bench_infer_class")
+    finally:
+        sys.path.remove(os.path.join(REPO, "scripts"))
+    monkeypatch.setenv("BENCH_DTYPE", "float16")
+    with pytest.raises(SystemExit):
+        bic.build("cnn")
