@@ -22,19 +22,13 @@ faulted in by the worker threads, off the consumer thread.
 """
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
+from ..native_util import load_native
+
 _LIB = None
 _TRIED = False
-
-
-def _native_dir():
-    from .. import config
-
-    return os.path.join(config.repo_root(), "native")
 
 
 def get_lib():
@@ -43,17 +37,9 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    d = _native_dir()
-    so = os.path.join(d, "libprefetch.so")
-    src = os.path.join(d, "prefetch.cpp")
-    try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-                 "-std=c++17", "-pthread", "-o", so, src],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so)
+    lib = load_native("libprefetch.so", "prefetch.cpp",
+                      extra_flags=("-pthread",))
+    if lib is not None:
         i64 = ctypes.c_int64
         lp = ctypes.POINTER(i64)
         lib.pf_create.argtypes = [
@@ -69,9 +55,7 @@ def get_lib():
         lib.pf_acquire.restype = i64
         lib.pf_release.argtypes = [ctypes.c_void_p]
         lib.pf_destroy.argtypes = [ctypes.c_void_p]
-        _LIB = lib
-    except Exception:
-        _LIB = None
+    _LIB = lib
     return _LIB
 
 

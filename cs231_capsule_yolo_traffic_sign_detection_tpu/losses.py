@@ -146,11 +146,20 @@ def dark_loss(y_pred, y_true, cfg: LossConfig, x=None, recon=None):
 
     resp = (obj_b * responsible)[..., None]            # (b,g,g,B,1)
     obj_loss_xy = jnp.sum(resp * (pred_cwh[..., 0:2] - true_cwh[..., 0:2]) ** 2)
-    obj_loss_wh = jnp.sum(
-        resp
-        * (jnp.sqrt(jnp.maximum(pred_cwh[..., 2:4], 0.0))
-           - jnp.sqrt(true_cwh[..., 2:4])) ** 2
-    )
+    # sqrt only where the mask selects: sqrt'ing EVERY box would give
+    # masked-out lanes with an exactly-underflowed w/h (sigmoid -> 0.0)
+    # a 0 * inf = NaN cotangent that poisons the shared weights — a
+    # failure surface the reference's gathered formulation
+    # (loss_fns.py:127) never has.  Responsible boxes keep the
+    # reference's exact semantics, including torch's inf-grad-at-0 edge
+    # (SURVEY §7 "sqrt w gradients at 0").
+    resp_on = resp > 0
+    wh_safe = jnp.where(resp_on, jnp.maximum(pred_cwh[..., 2:4], 0.0), 1.0)
+    obj_loss_wh = jnp.sum(jnp.where(
+        resp_on,
+        (jnp.sqrt(wh_safe) - jnp.sqrt(true_cwh[..., 2:4])) ** 2,
+        0.0,
+    ))
 
     if C != 0:
         pred_cls = y_pred[..., 5 * B :]

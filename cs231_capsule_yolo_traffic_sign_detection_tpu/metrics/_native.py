@@ -5,19 +5,13 @@ falls back silently to the numpy path when a toolchain is unavailable.
 """
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
+from ..native_util import load_native
+
 _LIB = None
 _TRIED = False
-
-
-def _native_dir():
-    from .. import config
-
-    return os.path.join(config.repo_root(), "native")
 
 
 def get_lib():
@@ -26,17 +20,8 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    d = _native_dir()
-    so = os.path.join(d, "libconfusion.so")
-    src = os.path.join(d, "confusion.cpp")
-    try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-                 "-std=c++17", "-o", so, src],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so)
+    lib = load_native("libconfusion.so", "confusion.cpp")
+    if lib is not None:
         dp = ctypes.POINTER(ctypes.c_double)
         lp = ctypes.POINTER(ctypes.c_int64)
         lib.confusion_sweep_image.argtypes = [
@@ -47,9 +32,7 @@ def get_lib():
             lp, lp, lp,
         ]
         lib.confusion_sweep_image.restype = None
-        _LIB = lib
-    except Exception:
-        _LIB = None
+    _LIB = lib
     return _LIB
 
 

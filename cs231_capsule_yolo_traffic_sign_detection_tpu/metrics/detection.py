@@ -24,24 +24,21 @@ CONF_THS = np.linspace(0, 1, 100)
 # ---------------------------------------------------------------------------
 
 def calc_iou_individual(gt_box, pred_box):
-    """IoU of one gt and one pred corner box.  Reference metrics.py:99-133."""
-    x1_t, y1_t, x2_t, y2_t = gt_box
-    x1_p, y1_p, x2_p, y2_p = pred_box
+    """IoU of one gt and one pred corner box.
 
-    if (x1_p > x2_p) or (y1_p > y2_p):
-        raise AssertionError(
-            "Prediction box is malformed? pred box: {}".format(pred_box))
-    if (x1_t > x2_t) or (y1_t > y2_t):
-        raise AssertionError(
-            "Ground Truth box is malformed? true box: {}".format(gt_box))
-
-    if x2_t < x1_p or x2_p < x1_t or y2_t < y1_p or y2_p < y1_t:
-        return 0.0
-
-    inter = (min(x2_t, x2_p) - max(x1_t, x1_p)) * (min(y2_t, y2_p) - max(y1_t, y1_p))
-    area_t = (x2_t - x1_t) * (y2_t - y1_t)
-    area_p = (x2_p - x1_p) * (y2_p - y1_p)
-    return inter / (area_t + area_p - inter)
+    Scalar entry point kept for reference-parity of the metric API
+    (its numbers match reference metrics.py:99-133, including the
+    exact-0 return for non-overlapping boxes and the assertion on
+    inverted corners); computation delegates to the vectorized matrix
+    below rather than scalar arithmetic.
+    """
+    gt = np.asarray(gt_box, dtype=float)
+    pred = np.asarray(pred_box, dtype=float)
+    for name, b in (("pred", pred), ("gt", gt)):
+        if b[2] < b[0] or b[3] < b[1]:
+            raise AssertionError(
+                f"inverted corners in {name} box {b.tolist()}")
+    return float(_pairwise_iou(gt[None, :], pred[None, :])[0, 0])
 
 
 def _pairwise_iou(gt_xy, pred_xy):
@@ -93,22 +90,26 @@ def average_precision(p, r):
 
 
 def plot_pr_curve(p, r, label=None, color=None, ax=None, name="default"):
-    """Reference parity: metrics.py:163-177."""
+    """Scatter one PR series onto `ax` (created on first call).
+
+    Produces the same artifact class as the reference's PR plots
+    (metrics.py:163-177): recall on x, precision on y, axes padded past
+    1.0 so points at exactly 1.0 stay visible, one labeled series per
+    IoU threshold accumulated onto a shared Axes.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     if ax is None:
-        plt.figure(figsize=(10, 8))
-        ax = plt.gca()
-    if color is None:
-        color = config.colors[0]
-    ax.scatter(r, p, label=label, s=20, color=color)
-    ax.set_xlabel("recall")
-    ax.set_ylabel("precision")
-    ax.set_title("Precision-Recall curve for {}".format(name))
-    ax.set_xlim([0.0, 1.1])
-    ax.set_ylim([0.0, 1.1])
+        _, ax = plt.subplots(figsize=(10, 8))
+    ax.scatter(np.asarray(r), np.asarray(p), s=20,
+               color=color if color is not None else config.colors[0],
+               label=label)
+    pad = 1.1  # keep the (1.0, 1.0) corner inside the frame
+    ax.set(xlabel="recall", ylabel="precision",
+           xlim=(0.0, pad), ylim=(0.0, pad),
+           title=f"Precision-Recall curve for {name}")
     return ax
 
 

@@ -327,11 +327,15 @@ class Trainer:
             x_dev = self._device_dataset("train", x)
             perm = np.random.permutation(n)
             y = y[perm]
-            x_split = [
-                jnp.take(x_dev, jnp.asarray(i), axis=0)
-                for i in np.array_split(perm, n_batch)
-            ]
-            batches = zip(x_split, np.array_split(y, n_batch))
+            # gather lazily, one batch per loop iteration: an eager
+            # list of jnp.take results would hold a full permuted COPY
+            # of the dataset in HBM for the whole epoch on top of the
+            # cached dataset
+            batches = (
+                (jnp.take(x_dev, jnp.asarray(i), axis=0), yb)
+                for i, yb in zip(np.array_split(perm, n_batch),
+                                 np.array_split(y, n_batch))
+            )
         elif self.stream:
             # host-streaming (--stream): same permutation draw as the
             # other paths; the native threaded prefetcher
@@ -396,9 +400,14 @@ class Trainer:
             x_dev = self._device_dataset("eval", x)
             bounds = np.cumsum([len(b) for b in
                                 np.array_split(np.arange(n), n_batch)])
-            x_split = [x_dev[lo:hi] for lo, hi in
-                       zip(np.concatenate([[0], bounds[:-1]]), bounds)]
-            batches = zip(x_split, np.array_split(y, n_batch))
+            # lazy slices (see train_epoch: eager lists duplicate the
+            # dataset in HBM for the epoch)
+            batches = (
+                (x_dev[lo:hi], yb)
+                for (lo, hi), yb in zip(
+                    zip(np.concatenate([[0], bounds[:-1]]), bounds),
+                    np.array_split(y, n_batch))
+            )
         elif self.stream:
             batches = data_stream.iter_batches(
                 x, y, np.arange(n), n_batch)

@@ -134,11 +134,27 @@ def _build_train_step(model, model_name: str, loss_cfg: LossConfig,
             loss_fn, has_aux=True
         )(state.params)
 
+        # Freeze BEFORE the optimizer: with zero gradients from step 0,
+        # Adam's moments for frozen params stay exactly zero and their
+        # updates are 0/(0+eps) = 0 — matching the reference, which
+        # excludes frozen params from the optimizer entirely
+        # (main.py:280), so a later resume-with-unfreeze starts from
+        # zero moments, not stale accumulated ones.
+        if freeze_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.where(m, g, jnp.zeros_like(g)),
+                grads, freeze_mask,
+            )
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         if freeze_mask is not None:
+            # belt-and-braces: also zero the updates, so frozen params
+            # cannot move even when resuming a checkpoint whose moments
+            # predate the grad-side masking above
             updates = jax.tree_util.tree_map(
-                lambda u, m: jnp.where(m, u, 0.0), updates, freeze_mask
+                lambda u, m: jnp.where(m, u, jnp.zeros_like(u)),
+                updates, freeze_mask,
             )
         params = optax.apply_updates(state.params, updates)
 

@@ -35,7 +35,15 @@ def draw_boxes(image, xy, classes=None, color=(0, 255, 0)):
 
     class_names = _class_names()
     new_img = image.copy()
-    crops = [image[int(y1):int(y2), int(x1):int(x2)]
+    # clip crop coordinates to the frame: the decoder doesn't clip
+    # boxes, and a box poking past the left/top edge (negative x1/y1)
+    # would wrap around via negative indexing and yield an empty crop
+    # where the sign's visible part exists (deviation from the
+    # reference's unclipped slicing — COMPAT.md, undefined-behavior
+    # fix; the drawn rectangles are unaffected, cv2 clips itself)
+    h, w = image.shape[:2]
+    crops = [image[max(int(y1), 0):max(min(int(y2), h), 0),
+                   max(int(x1), 0):max(min(int(x2), w), 0)]
              for x1, y1, x2, y2 in xy]
 
     for i in range(xy.shape[0]):

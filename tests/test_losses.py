@@ -199,3 +199,35 @@ def test_darkcapsule_loss_matches_torch(rng):
     coord = -tc * y_phi
     expected = (margin.sum() + coord.sum()) / bs
     np.testing.assert_allclose(float(ours), float(expected), rtol=1e-10)
+
+
+def test_dark_loss_grad_finite_with_underflowed_wh(rng):
+    """A sigmoid-underflowed (exactly 0) w/h in a MASKED-OUT box — a
+    no-object cell or a non-responsible box — must not NaN the
+    gradient: sqrt'ing every lane gives those entries a 0 * inf
+    cotangent.  The reference only sqrt's gathered responsible boxes
+    (loss_fns.py:127), so the masked rewrite must not widen the
+    failure surface."""
+    import jax
+
+    g, B, C, bs = 4, 2, 3, 2
+    y_pred = rng.rand(bs, g, g, 5 * B + C).astype(np.float64)
+    y_true = np.zeros((bs, g, g, 5 + C))
+    # one object cell so both branches of the loss are active
+    y_true[:, 1, 1, 0] = 1.0
+    y_true[:, 1, 1, 1:5] = [0.5, 0.5, 0.25, 0.25]
+    y_true[:, 1, 1, 5] = 1.0
+    # underflow w/h to exactly 0 in a no-object cell's boxes AND in the
+    # object cell's (likely non-responsible) second box
+    boxes = y_pred[..., : 5 * B].reshape(bs, g, g, B, 5)
+    boxes[:, 0, 0, :, 3:5] = 0.0
+    boxes[:, 1, 1, 1, 3:5] = 0.0
+    cfg = L.LossConfig(n_classes=C, n_boxes=B, n_grid=g, darknet_input=64)
+
+    def f(p):
+        return L.dark_loss(p, jnp.asarray(y_true), cfg)[0]
+
+    loss = f(jnp.asarray(y_pred))
+    grad = jax.grad(f)(jnp.asarray(y_pred))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()

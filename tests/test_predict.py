@@ -108,3 +108,22 @@ def test_trainer_rejects_int8():
     )
     with pytest.raises(ValueError, match="serving-only"):
         Trainer(p, verbose=False)
+
+
+def test_draw_boxes_clips_edge_crops():
+    """Boxes poking past the left/top edge must yield the VISIBLE part
+    of the crop, not a wrapped-around empty slice (COMPAT.md #8)."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu import viz
+
+    img = np.arange(20 * 20 * 3, dtype=np.uint8).reshape(20, 20, 3)
+    xy = np.array([
+        [-3.0, -2.0, 5.0, 6.0],   # past top-left corner
+        [15.0, 15.0, 25.0, 25.0],  # past bottom-right corner
+        [4.0, 4.0, 8.0, 8.0],      # fully inside
+    ])
+    _, crops = viz.draw_boxes(img, xy)
+    assert crops[0].shape == (6, 5, 3)
+    np.testing.assert_array_equal(crops[0], img[0:6, 0:5])
+    assert crops[1].shape == (5, 5, 3)
+    np.testing.assert_array_equal(crops[1], img[15:20, 15:20])
+    np.testing.assert_array_equal(crops[2], img[4:8, 4:8])

@@ -130,3 +130,53 @@ def test_device_data_path_matches_host_path():
         losses, _ = _run_epochs(p, n_epochs=2, n=24)
         traces.append(losses)
     assert traces[0] == traces[1]
+
+
+def test_freeze_mask_keeps_moments_zero():
+    """Frozen params must not move AND their Adam moments must stay
+    exactly zero (the reference never hands frozen params to the
+    optimizer, main.py:280 — resuming with the freeze lifted must
+    start from zero moments, COMPAT.md #9)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.losses import (
+        LossConfig)
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models.darknet import (
+        DarkNet, darknet_freeze_mask)
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import steps
+
+    model = DarkNet(n_boxes=1, n_classes=3, dropout=0.0)
+    state = steps.init_state(model, None, (64, 64, 3), seed=0)
+    mask = darknet_freeze_mask(state.params, fine_tune=2)
+    cfg = LossConfig(n_classes=3, n_boxes=1, n_grid=2, darknet_input=64)
+    step = steps.make_train_step(model, "darknet_r", cfg,
+                                 freeze_mask=mask, donate=False)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    y = np.zeros((2, 2, 2, 8), np.float32)
+    y[:, 0, 0, 0] = 1.0
+    y[:, 0, 0, 1:5] = [0.5, 0.5, 0.2, 0.2]
+    y[:, 0, 0, 5] = 1.0
+    y = jnp.asarray(y)
+
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for _ in range(3):
+        state, loss, _, _ = step(state, x, y, 1e-3)
+    assert np.isfinite(float(loss))
+
+    opt = state.opt_state
+    mu = opt.mu if hasattr(opt, "mu") else opt[0].mu
+    flat_mask = jax.tree_util.tree_leaves(mask)
+    for m, p_before, p_after, mom in zip(
+            flat_mask,
+            jax.tree_util.tree_leaves(p0),
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(mu)):
+        if not m:  # frozen leaf
+            np.testing.assert_array_equal(np.asarray(p_after), p_before)
+            assert not np.asarray(mom).any(), "frozen moment accumulated"
+        else:      # trainable leaf must actually move
+            assert not np.array_equal(np.asarray(p_after), p_before)
