@@ -66,6 +66,10 @@ def tpu_available(attempts=3, timeout_s=480):
                     f"hanging after {grace}s; extending wait")
         else:
             p.kill()  # last resort; claim is already wedged at this point
+            try:  # reap: otherwise the child lingers as a zombie with
+                p.communicate(timeout=10)  # its stdout pipe open
+            except Exception:
+                pass
             log(f"[bench] tpu probe attempt {i}/{attempts} killed")
         if i < attempts:
             time.sleep(60)
@@ -300,10 +304,22 @@ def bench_reference_cpu(n_images=4):
         sys.path.remove("/root/reference")
 
 
+def normalize_dtype(name):
+    """Canonical dtype name; unknown values are an error, never a
+    silent f32 run recorded under the requested label."""
+    canon = {"bfloat16": "bfloat16", "bf16": "bfloat16",
+             "float32": "float32", "f32": "float32", "int8": "int8"}
+    key = str(name).lower()
+    if key not in canon:
+        raise SystemExit(
+            f"BENCH_DTYPE={name!r} not supported (float32|bfloat16|int8)")
+    return canon[key]
+
+
 def main():
     global BATCH, ITERS, WARMUP
 
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = normalize_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
     metric = "gtsdb_e2e_inference_throughput"
 
     if os.environ.get("BENCH_FORCE_CPU") or not tpu_available():
@@ -319,14 +335,17 @@ def main():
 
     ips = bench_tpu(dtype)
     if os.environ.get("BENCH_BOTH"):
-        ips_bf16 = bench_tpu("bfloat16")
-        log(f"[bench] f32 {ips:.1f} vs bf16 {ips_bf16:.1f} img/s")
+        other = "float32" if dtype == "bfloat16" else "bfloat16"
+        ips_other = bench_tpu(other)
+        log(f"[bench] {dtype} {ips:.1f} vs {other} {ips_other:.1f} img/s")
     base = bench_reference_cpu()
     vs = (ips / base) if base else -1.0
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),
         "unit": "img/s",
+        "dtype": dtype,   # bf16/int8/f32 runs must be distinguishable
+        "batch": BATCH,
         "vs_baseline": round(vs, 2),
     }))
 

@@ -85,15 +85,7 @@ def measure(model_name):
     v = float(pipeline_n(variables, x))
     log(f"[bench_class] {model_name}: compile+first "
         f"{time.perf_counter()-t0:.1f}s (checksum {v:.0f})")
-    ready = pipeline_n(variables, x)
-    _ = float(ready)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(ready)
-    rtt = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    _ = float(pipeline_n(variables, x))
-    dt = time.perf_counter() - t0 - rtt
+    dt = bench.device_chain_seconds(pipeline_n, (variables, x))
     ips = BATCH * ITERS / dt
     log(f"[bench_class] {model_name}: {ITERS} x batch {BATCH} in "
         f"{dt:.3f}s -> {ips:.1f} img/s")
@@ -146,12 +138,16 @@ def main():
     import jax
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which not in ("all", "cnn", "capsule"):
+        raise SystemExit(f"unknown model {which!r} (cnn | capsule | all)")
     models = ["cnn", "capsule"] if which == "all" else [which]
 
+    suffix = ""  # CPU-fallback numbers must never look like TPU ones
     if os.environ.get("BENCH_FORCE_CPU") or not bench.tpu_available():
         log("[bench_class] TPU unavailable -> CPU fallback")
         jax.config.update("jax_platforms", "cpu")
         BATCH, ITERS = 16, 2
+        suffix = "_cpu_fallback"
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -163,7 +159,7 @@ def main():
         ips = measure(m)
         base = reference_cpu(m)
         print(json.dumps({
-            "metric": f"gtsrb_{m}_inference_throughput",
+            "metric": f"gtsrb_{m}_inference_throughput{suffix}",
             "value": round(ips, 2),
             "unit": "img/s",
             "dtype": dtype,  # bf16 rows must be distinguishable from f32

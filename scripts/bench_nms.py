@@ -86,16 +86,7 @@ def measure(tag, dtype, nms):
     v = float(pipeline_n(variables, x))  # compile + warmup
     log(f"[bench_nms] {tag}: compile+first {time.perf_counter()-t0:.1f}s "
         f"(checksum {v:.2f})")
-    # fetch-latency floor (tunnel RTT)
-    ready = pipeline_n(variables, x)
-    _ = float(ready)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(ready)
-    rtt = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    v = float(pipeline_n(variables, x))
-    dt = time.perf_counter() - t0 - rtt
+    dt = bench.device_chain_seconds(pipeline_n, (variables, x))
     ips = BATCH * ITERS / dt
     log(f"[bench_nms] {tag}: {ITERS} x batch {BATCH} in {dt:.3f}s "
         f"-> {ips:.1f} img/s")
@@ -105,24 +96,31 @@ def measure(tag, dtype, nms):
 def main():
     import jax
 
+    metric = "gtsdb_e2e_inference_with_nms"
     if os.environ.get("BENCH_FORCE_CPU") or not bench.tpu_available():
         log("[bench_nms] TPU unavailable -> CPU (numbers not comparable)")
         jax.config.update("jax_platforms", "cpu")
         global BATCH, ITERS
         BATCH, ITERS = 2, 2
+        metric += "_cpu_fallback"  # never record a CPU number as on-chip
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception as e:
         log(f"[bench_nms] compilation cache unavailable: {e}")
 
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = bench.normalize_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    if dtype == "int8":
+        raise SystemExit("bench_nms measures the f32/bf16 pipeline; "
+                         "use bench.py for int8 serving")
     base = measure("decode only", dtype, nms=False)
     with_nms = measure("decode+NMS", dtype, nms=True)
     print(json.dumps({
-        "metric": "gtsdb_e2e_inference_with_nms",
+        "metric": metric,
         "value": round(with_nms, 2),
         "unit": "img/s",
+        "dtype": dtype,
+        "batch": BATCH,
         "without_nms": round(base, 2),
         "nms_cost_pct": round(100.0 * (1 - with_nms / base), 2),
     }))

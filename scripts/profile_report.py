@@ -22,8 +22,10 @@ sys.path.insert(0, REPO)
 
 
 def newest_trace():
+    # the trace filename is <hostname>.trace.json.gz — don't assume
+    # this box's hostname
     files = sorted(glob.glob(
-        "/tmp/cyt_trace/plugins/profile/*/vm.trace.json.gz"))
+        "/tmp/cyt_trace/plugins/profile/*/*.trace.json.gz"))
     return files[-1] if files else None
 
 
@@ -110,6 +112,12 @@ def main():
         print("no trace found; run scripts/profile_infer.py first")
         return
     dur, cnt = device_op_times(tp)
+    # drop the whole-module jit_* spans and the bare per-step digit
+    # markers: they overlap the per-op fusions, so counting them in the
+    # total doubles (triples) it and deflates every percentage
+    # (same filter as profile_train.py)
+    for name in [n for n in dur if n.startswith("jit_") or n.isdigit()]:
+        del dur[name], cnt[name]
     steps = max(cnt.values()) if cnt else 1
     total = sum(dur.values())
     print(f"trace: {tp}")
@@ -118,8 +126,6 @@ def main():
     print(f"{'ms/step':>8} {'%':>5}  op")
     shown = 0.0
     for name, d in dur.most_common(30):
-        if name.startswith("jit_"):
-            continue
         kind, root = roots.get(name, ("?", "?"))
         ms = d / 1e3 / steps
         pct = 100.0 * d / total if total else 0

@@ -124,3 +124,12 @@ def test_bench_infer_class_rejects_unknown_dtype(monkeypatch):
     monkeypatch.setenv("BENCH_DTYPE", "float16")
     with pytest.raises(SystemExit):
         bic.build("cnn")
+
+
+def test_bench_normalize_dtype(bench):
+    assert bench.normalize_dtype("bf16") == "bfloat16"
+    assert bench.normalize_dtype("BFLOAT16") == "bfloat16"
+    assert bench.normalize_dtype("f32") == "float32"
+    assert bench.normalize_dtype("int8") == "int8"
+    with pytest.raises(SystemExit):
+        bench.normalize_dtype("float16")
