@@ -142,12 +142,14 @@ def augmentation(x, model_name, max_shift=4, max_lightness_increase=0.05):
 # Synthetic fallback (TPU-build addition; no reference counterpart)
 # ---------------------------------------------------------------------------
 
-def _synthetic_classification(params, n, rng):
-    n_classes = int(params.get("n_classes", 43) or 43)
-    size = int(params.get("capsule_input", 32) or 32)
-    templates = rng.uniform(-1.0, 1.0, (n_classes, size, size, 3))
+def _synthetic_classification(templates, n, rng):
+    # templates are shared between the train and eval draws (one
+    # per-class prototype): re-drawing them per split would make the
+    # eval set structurally unrelated to what was trained on, and every
+    # synthetic-fallback eval curve pure noise
+    n_classes = templates.shape[0]
     y = (np.arange(n) % n_classes).astype(np.int64)
-    x = templates[y] + 0.1 * rng.randn(n, size, size, 3)
+    x = templates[y] + 0.1 * rng.randn(n, *templates.shape[1:])
     return np.clip(x, -1.0, 1.0).astype(np.float32), y
 
 
@@ -185,8 +187,11 @@ def synthetic_dataset(model_name, params, n_train, n_eval):
     """
     rng = np.random.RandomState(0)
     if model_name in ("cnn", "capsule"):
-        x_tr, y_tr = _synthetic_classification(params, n_train, rng)
-        x_ev, y_ev = _synthetic_classification(params, n_eval, rng)
+        n_classes = int(params.get("n_classes", 43) or 43)
+        size = int(params.get("capsule_input", 32) or 32)
+        templates = rng.uniform(-1.0, 1.0, (n_classes, size, size, 3))
+        x_tr, y_tr = _synthetic_classification(templates, n_train, rng)
+        x_ev, y_ev = _synthetic_classification(templates, n_eval, rng)
     else:
         size = int(params.darknet_input)
         if model_name == "darkcapsule":

@@ -168,9 +168,18 @@ def _iter_offsets(x, y, perm, offsets, ring, n_threads, copy):
                 ).contents,
                 dtype=y.dtype).reshape((int(rows),) + y.shape[1:])
             if copy:
+                # copies taken: free the ring slot BEFORE yielding so
+                # the workers refill it while the consumer runs its
+                # step — releasing after the yield would idle one of
+                # the `ring` slots for the whole consumer step
                 xb, yb = xb.copy(), yb.copy()
-            yield xb, yb
-            lib.pf_release(h)
+                lib.pf_release(h)
+                yield xb, yb
+            else:
+                # zero-copy views: the slot stays locked until the
+                # consumer finishes with them
+                yield xb, yb
+                lib.pf_release(h)
     finally:
         lib.pf_destroy(h)
 

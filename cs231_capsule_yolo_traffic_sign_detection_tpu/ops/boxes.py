@@ -183,6 +183,12 @@ def combine_y_hat(images, dark_y_hat, class_y_hat, image_indices, boxes_xy, para
         resized_box_xy = resize_box_xy(orig_hw, resized_hw, boxes_xy[i])
         box_cwh = xy_to_cwh(resized_box_xy)
         _, (row, col) = normalize_box_cwh(resized_hw, params.n_grid, box_cwh)
+        # a box center exactly on the right/bottom image edge (a
+        # saturated sigmoid can emit 1.0) computes row/col == n_grid;
+        # the reference would IndexError there (utils.py:336-351) —
+        # clamp to the last cell (COMPAT.md, crash-fix class)
+        row = min(row, n_grid - 1)
+        col = min(col, n_grid - 1)
         y_hat[index, row, col, B:] = class_y_hat[i, :]
     return y_hat
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .boxes import iou_xy
+
 
 @functools.partial(jax.jit, static_argnames=("n_classes", "n_boxes", "max_boxes", "img_size"))
 def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=None, conf_th=0.5):
@@ -131,13 +133,10 @@ def nms_mask(xy, conf, valid, iou_th=0.5):
     n = xy.shape[-2]
 
     def body(i, keep):
-        lt = jnp.maximum(xy[..., i, None, :2], xy[..., :2])
-        rb = jnp.minimum(xy[..., i, None, 2:], xy[..., 2:])
-        wh = jnp.maximum(rb - lt, 0.0)
-        inter = wh[..., 0] * wh[..., 1]
-        area_i = (xy[..., i, 2] - xy[..., i, 0]) * (xy[..., i, 3] - xy[..., i, 1])
-        area_j = (xy[..., 2] - xy[..., 0]) * (xy[..., 3] - xy[..., 1])
-        iou = inter / (area_i[..., None] + area_j - inter + 1e-9)
+        # shared IoU helper; degenerate padded slots (zero-area boxes)
+        # produce 0/0 -> treated as IoU 0, never suppressing anything
+        iou = jnp.nan_to_num(
+            iou_xy(xy[..., i, None, :], xy)[..., 0, :])
         later = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) > i
         kill = (iou > iou_th) & later & keep[..., i, None]
         return keep & ~kill

@@ -108,17 +108,21 @@ def quantize_darknet(variables, eps=1e-5, x_cal=None):
     out = {"layers": q, "head": head}
     if x_cal is not None:
         out["act_scales"] = calibrate_activation_scales(
-            variables, x_cal, eps)
+            x_cal, folded_layers=layers)
     return out
 
 
-def calibrate_activation_scales(variables, x_cal, eps=1e-5):
+def calibrate_activation_scales(x_cal, variables=None, eps=1e-5,
+                                folded_layers=None):
     """Static per-layer activation scales from a calibration batch.
 
     Runs the BN-folded f32 forward on `x_cal`, recording max|input| /
     127 ahead of each quantized conv.  Returns a (18,) f32 array.
+    Pass `folded_layers` when the caller already folded BN (avoids a
+    redundant second fold of all 18 convs).
     """
-    layers, _head = fold_darknet(variables, eps)
+    layers = (folded_layers if folded_layers is not None
+              else fold_darknet(variables, eps)[0])
     scales = []
     x = jnp.asarray(x_cal, jnp.float32)
     for (feats, k, after), L in zip(DARKNET_LAYERS, layers):
@@ -183,6 +187,8 @@ def darknet_int8_resident_apply(qparams, x, *, n_boxes, n_classes):
                 z = _max_pool_int8(z)
         else:
             x = a  # last quantized layer: stay f32 for the head
+            if after == "mp":  # keep the bit-identity contract with
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))  # _apply
     out = _conv(x, qparams["head"], 1)
     return _head(out, n_boxes, n_classes)
 

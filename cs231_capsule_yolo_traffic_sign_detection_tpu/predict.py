@@ -106,7 +106,7 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
         ).astype(np.float32)
 
     if use_int8:
-        # opt-in quantized serving (--dtype int8, COMPAT.md #21): BN
+        # opt-in quantized serving (--dtype int8, COMPAT.md #24): BN
         # folded + symmetric int8 weights, static activation scales
         # calibrated on the first batch (removes the dynamic abs-max
         # pass; later batches saturate beyond the calibrated range,

@@ -60,8 +60,30 @@ class Trainer:
                 "bench, ops/quant.py); train with float32 or bfloat16")
         self.params = params
         self.loss_cfg = LossConfig.from_params(params)
-        self.model = build_model(params)
         self.model_name = params.model
+
+        # The mesh decision must precede model construction: when the
+        # routing weights are tensor-sharded over 'model'
+        # (--mesh data=N,model=M with a capsule head), the routing must
+        # run as XLA ops — GSPMD can partition those and insert the
+        # psum over the node contraction, but a pallas_call has no SPMD
+        # partitioning rule and cannot consume a sharded operand (the
+        # TPU 'auto' default would otherwise pick Pallas for capsule).
+        self.mesh = par.maybe_make_mesh(params.get("mesh", "off"))
+        self._shard_routing = (
+            self.mesh is not None
+            and self.mesh.shape["model"] > 1
+            and self.model_name in ("capsule", "darkcapsule")
+        )
+        if (self._shard_routing
+                and str(params.get("routing_impl", "auto")) != "xla"):
+            if str(params.get("routing_impl", "auto")) == "pallas":
+                print("[mesh] routing weights sharded over 'model': "
+                      "forcing --routing xla (the Pallas kernel cannot "
+                      "consume a sharded operand)")
+            params.routing_impl = "xla"
+
+        self.model = build_model(params)
         self.metric = METRIC_REGISTRY[self.model_name]
         self.needs_labels = (
             self.model_name == "capsule" and self.loss_cfg.recon
@@ -97,12 +119,8 @@ class Trainer:
         # of where state and batches are device_put: params replicated
         # (routing weights optionally tensor-sharded over 'model'),
         # batches sharded over 'data'; XLA inserts the gradient psum.
-        self.mesh = par.maybe_make_mesh(params.get("mesh", "off"))
-        self._shard_routing = (
-            self.mesh is not None
-            and self.mesh.shape["model"] > 1
-            and self.model_name in ("capsule", "darkcapsule")
-        )
+        # (self.mesh / self._shard_routing were decided above, before
+        # model construction.)
         if self.mesh is not None:
             self.state = par.shard_state(
                 self.state, self.mesh, shard_routing=self._shard_routing)
