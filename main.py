@@ -129,8 +129,26 @@ def load_params(model_dir, args, with_writer=True):
     return params
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (set CYT_COMPILE_CACHE=0 to
+    disable, or to a path to relocate).  The 448px detector programs
+    take 1-3 min to compile through the tunnel; cached reruns skip
+    that.  The bench/profile scripts already use the same cache dir."""
+    cache_dir = os.environ.get("CYT_COMPILE_CACHE", "/tmp/jax_cache")
+    if cache_dir in ("", "0", "off"):
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"[cache] persistent compilation cache unavailable: {e}")
+
+
 def main():
     args = parser.parse_args()
+    _enable_compile_cache()
     data_dir, model_dir = get_data_and_model_dir(args.model)
     if args.model_dir is not None:
         model_dir = args.model_dir
