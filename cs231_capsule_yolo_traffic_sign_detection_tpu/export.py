@@ -1,0 +1,153 @@
+"""Serialized serving artifacts (jax.export / StableHLO).
+
+Packages a trained model into ONE self-contained artifact — weights
+baked in as constants, forward + on-device grid decode in a single
+compiled program — that a serving process deserializes and calls
+without this framework, flax, or the checkpoint format on its path
+(only jax).  The artifact is the deployment unit the reference never
+had (its predict path re-instantiates the torch model from source and
+unpickles a checkpoint every run, reference predict_fns.py:10-58).
+
+Artifacts record the lowering platform(s): export on the TPU host for
+TPU serving, or pass ``platforms=("tpu", "cpu")`` for one artifact
+that runs on both.  Version compatibility follows jax.export's
+guarantees (forward-compatible StableHLO).
+
+Functions:
+  make_detector_fn / make_classifier_fn  — the canonical serving
+    computations (shared with bench.py's methodology)
+  export_serving        — trained variables -> serialized bytes
+  save / load_serving   — file round-trip; load returns a callable
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def make_detector_fn(model, variables, *, n_boxes, n_classes, img_size,
+                     conf_th=0.5, use_nms=False, dtype=jnp.float32):
+    """End-to-end detection serving fn: x (B,S,S,3) f32 -> decode dict.
+
+    Forward + full-width grid decode (every g*g*B candidate, like the
+    reference's y_to_boxes_vec — no silent top-k truncation) in one
+    program; optional on-device NMS (extension, reference has none).
+    Weights are closed over, so the exported artifact is
+    self-contained.
+    """
+    from .ops import decode as decode_ops
+
+    if dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            variables)
+    g = img_size // 32
+
+    def fn(x):
+        y = model.apply(variables, x.astype(dtype), train=False)
+        y = y.astype(jnp.float32)
+        d = decode_ops.decode_grid(
+            y, n_classes=n_classes, n_boxes=n_boxes, img_size=img_size,
+            max_boxes=g * g * n_boxes, conf_th=conf_th)
+        if use_nms:
+            d = dict(d)
+            d["valid"] = decode_ops.nms_mask(d["xy"], d["conf"], d["valid"])
+        return d
+
+    return fn
+
+
+def make_classifier_fn(model, variables, *, dtype=jnp.float32):
+    """Classifier serving fn: x (B,32,32,3) f32 -> (scores, argmax)."""
+    if dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            variables)
+
+    def fn(x):
+        scores = model.apply(variables, x.astype(dtype), train=False)
+        scores = scores.astype(jnp.float32)
+        return scores, jnp.argmax(scores, axis=-1)
+
+    return fn
+
+
+def export_serving(fn, input_shape, *, batch=None, platforms=None):
+    """Serialize a serving fn to portable bytes.
+
+    `input_shape` is the per-example shape (H, W, C); `batch` fixes the
+    batch dimension, or None exports a symbolic batch dimension (any
+    batch size at call time; falls back to batch=1 with a notice if
+    some op in the graph rejects shape polymorphism).
+    """
+    jitted = jax.jit(fn)
+    if batch is not None:
+        args = jax.ShapeDtypeStruct((batch, *input_shape), jnp.float32)
+        return jax_export.export(jitted, platforms=platforms)(
+            args).serialize()
+    try:
+        (b,) = jax_export.symbolic_shape("b")
+        args = jax.ShapeDtypeStruct((b, *input_shape), jnp.float32)
+        return jax_export.export(jitted, platforms=platforms)(
+            args).serialize()
+    except Exception as e:
+        print(f"[export] symbolic batch unsupported here ({type(e).__name__});"
+              " exporting batch=1")
+        args = jax.ShapeDtypeStruct((1, *input_shape), jnp.float32)
+        return jax_export.export(jitted, platforms=platforms)(
+            args).serialize()
+
+
+def save(blob, path):
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_serving(path):
+    """Deserialize an artifact; returns a jit-callable fn(x)."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+
+    @functools.wraps(exported.call)
+    def call(x):
+        return exported.call(jnp.asarray(x, jnp.float32))
+
+    call.exported = exported
+    return call
+
+
+def export_from_checkpoint(params, model_dir, restore_file, *,
+                           batch=None, conf_th=0.5, use_nms=False,
+                           dtype=jnp.float32, platforms=None):
+    """Restore a trained checkpoint and export its serving artifact."""
+    from .predict import restore_variables
+    from .train.driver import model_input_shape
+
+    model, variables, _ = restore_variables(params, model_dir, restore_file)
+    shape = model_input_shape(params)
+    if params.model in ("cnn", "capsule"):
+        fn = make_classifier_fn(model, variables, dtype=dtype)
+    else:
+        fn = make_detector_fn(
+            model, variables, n_boxes=int(params.n_boxes),
+            n_classes=int(params.n_classes), img_size=shape[0],
+            conf_th=conf_th, use_nms=use_nms, dtype=dtype)
+    return export_serving(fn, shape, batch=batch, platforms=platforms), fn
+
+
+def selfcheck(call, fn, input_shape, batch=2, seed=0, atol=1e-5):
+    """Run artifact vs live function on random data; raises on mismatch."""
+    x = np.random.RandomState(seed).rand(
+        batch, *input_shape).astype(np.float32)
+    got = jax.tree_util.tree_leaves(call(x))
+    want = jax.tree_util.tree_leaves(jax.jit(fn)(jnp.asarray(x)))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-5, atol=atol)
+    return True

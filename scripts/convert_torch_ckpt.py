@@ -57,7 +57,9 @@ def main():
                     help="also write best.ckpt on import")
     ap.add_argument("--no-optim", action="store_true",
                     help="skip optimizer-moment conversion")
-    ap.add_argument("--train_frac", type=float, default=1.0,
+    # default stays int 1 like main.py's: the checkpoint dir is
+    # model_dir+str(train_frac) (reference quirk), so 1 -> "...1"
+    ap.add_argument("--train_frac", type=float, default=1,
                     help="train_frac suffix of the default --out dir")
     args = ap.parse_args()
 

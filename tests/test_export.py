@@ -1,0 +1,118 @@
+"""Serving-artifact export (cyt/export.py): serialize -> load -> parity.
+
+The artifact must reproduce the live model exactly (same program, same
+constants) through a file round-trip, with and without a symbolic
+batch dimension, for both the detector (forward + decode + optional
+NMS in one program) and a classifier.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu import export
+from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+    ConvNet, DarkNet,
+)
+
+
+def _darknet_fn(use_nms=False, dtype=jnp.float32):
+    model = DarkNet(n_boxes=2, n_classes=43, dropout=0.0)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    fn = export.make_detector_fn(
+        model, variables, n_boxes=2, n_classes=43, img_size=64,
+        conf_th=0.1, use_nms=use_nms, dtype=dtype)
+    return fn
+
+
+def test_detector_roundtrip(tmp_path):
+    fn = _darknet_fn(use_nms=True)
+    blob = export.export_serving(fn, (64, 64, 3), batch=2)
+    path = export.save(blob, str(tmp_path / "det.stablehlo"))
+    serve = export.load_serving(path)
+    assert export.selfcheck(serve, fn, (64, 64, 3), batch=2)
+
+
+def test_detector_symbolic_batch(tmp_path):
+    fn = _darknet_fn()
+    blob = export.export_serving(fn, (64, 64, 3), batch=None)
+    path = export.save(blob, str(tmp_path / "det_poly.stablehlo"))
+    serve = export.load_serving(path)
+    for b in (1, 3):
+        x = np.random.RandomState(b).rand(b, 64, 64, 3).astype(np.float32)
+        got = jax.tree_util.tree_leaves(serve(x))
+        want = jax.tree_util.tree_leaves(jax.jit(fn)(jnp.asarray(x)))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(w, np.float32),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_classifier_bf16_roundtrip(tmp_path):
+    model = ConvNet(n_classes=43, dropout=0.0)
+    x0 = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x0, train=False)
+    fn = export.make_classifier_fn(model, variables, dtype=jnp.bfloat16)
+    blob = export.export_serving(fn, (32, 32, 3), batch=4)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "cls.stablehlo")))
+    assert export.selfcheck(serve, fn, (32, 32, 3), batch=4)
+
+
+def test_export_from_checkpoint(tmp_path):
+    """Full path: write a checkpoint, export from it, verify parity."""
+    from flax import serialization
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+        build_model,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.steps import (
+        init_state,
+    )
+
+    params = Params(model="cnn", n_classes=43, dropout=0.0, seed=0,
+                    train_frac=1.0, recon=True, recon_coef=5e-4,
+                    routing_impl="xla", batch_size=4, mesh="off")
+    model = build_model(params)
+    state = init_state(model, params, (32, 32, 3), seed=0)
+    out_dir = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(
+        {"epoch": 1, "state": serialization.to_state_dict(state),
+         "plateau": {}},
+        is_best=True, checkpoint_dir=out_dir)
+
+    blob, fn = export.export_from_checkpoint(
+        params, out_dir, "best", batch=2)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "from_ckpt.stablehlo")))
+    assert export.selfcheck(serve, fn, (32, 32, 3), batch=2)
+
+    # and the artifact really is self-contained: scores match the
+    # checkpointed weights applied directly
+    x = np.random.RandomState(2).rand(2, 32, 32, 3).astype(np.float32)
+    direct = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x), train=False)
+    scores, labels = serve(x)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+    assert labels.shape == (2,)
+
+
+def test_unknown_platform_artifact_rejected(tmp_path):
+    """Artifacts record their platform; calling one lowered for a
+    different backend fails loudly rather than silently recompiling."""
+    fn = _darknet_fn()
+    blob = export.export_serving(fn, (64, 64, 3), batch=1,
+                                 platforms=("tpu",))
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "tpu_only.stablehlo")))
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    with pytest.raises(Exception):
+        serve(x)  # running a tpu-lowered artifact on the CPU backend
