@@ -75,13 +75,29 @@ def make_classifier_fn(model, variables, *, dtype=jnp.float32):
     return fn
 
 
+def make_grid_fn(model, variables, *, dtype=jnp.float32):
+    """Raw grid forward (darkcapsule): x -> (B, g, g, 5) f32."""
+    if dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            variables)
+
+    def fn(x):
+        return model.apply(
+            variables, x.astype(dtype), train=False).astype(jnp.float32)
+
+    return fn
+
+
 def export_serving(fn, input_shape, *, batch=None, platforms=None):
     """Serialize a serving fn to portable bytes.
 
     `input_shape` is the per-example shape (H, W, C); `batch` fixes the
     batch dimension, or None exports a symbolic batch dimension (any
-    batch size at call time; falls back to batch=1 with a notice if
-    some op in the graph rejects shape polymorphism).
+    batch size at call time).  If some op in the graph rejects shape
+    polymorphism the export FAILS with a pointer to `batch=` — never
+    silently writing a fixed-batch artifact under a symbolic-batch
+    contract.
     """
     jitted = jax.jit(fn)
     if batch is not None:
@@ -94,11 +110,10 @@ def export_serving(fn, input_shape, *, batch=None, platforms=None):
         return jax_export.export(jitted, platforms=platforms)(
             args).serialize()
     except Exception as e:
-        print(f"[export] symbolic batch unsupported here ({type(e).__name__});"
-              " exporting batch=1")
-        args = jax.ShapeDtypeStruct((1, *input_shape), jnp.float32)
-        return jax_export.export(jitted, platforms=platforms)(
-            args).serialize()
+        raise ValueError(
+            "symbolic-batch export failed for this graph "
+            f"({type(e).__name__}: {e}); re-export with an explicit "
+            "batch= to pin the batch dimension instead") from e
 
 
 def save(blob, path):
@@ -131,6 +146,12 @@ def export_from_checkpoint(params, model_dir, restore_file, *,
     shape = model_input_shape(params)
     if params.model in ("cnn", "capsule"):
         fn = make_classifier_fn(model, variables, dtype=dtype)
+    elif params.model == "darkcapsule":
+        # no grid decode: the reference defines no predict fn for
+        # darkcapsule (main.py:263-265) and its (B, g, g, 5) capsule
+        # output is polar-encoded, not a cwh box grid — export the raw
+        # forward, like the training/eval consumers use it
+        fn = make_grid_fn(model, variables, dtype=dtype)
     else:
         fn = make_detector_fn(
             model, variables, n_boxes=int(params.n_boxes),
@@ -145,7 +166,10 @@ def selfcheck(call, fn, input_shape, batch=2, seed=0, atol=1e-5):
         batch, *input_shape).astype(np.float32)
     got = jax.tree_util.tree_leaves(call(x))
     want = jax.tree_util.tree_leaves(jax.jit(fn)(jnp.asarray(x)))
-    assert len(got) == len(want)
+    if len(got) != len(want):  # explicit: asserts vanish under python -O
+        raise ValueError(
+            f"artifact returned {len(got)} output leaves, live model "
+            f"returned {len(want)}")
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(w, np.float32),

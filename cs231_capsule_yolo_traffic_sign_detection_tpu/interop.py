@@ -298,7 +298,13 @@ def torch_to_variables(state_dict, model_name, template_variables):
 
 
 def variables_to_torch_state_dict(variables, model_name):
-    """Inverse mapping: our params/batch_stats -> a reference state_dict."""
+    """Inverse mapping: our params/batch_stats -> a reference state_dict.
+
+    Key INSERTION ORDER matches the reference's module registration
+    order — torch's optimizer state maps parameters positionally, so
+    `_torch_param_order` over this dict must equal
+    model.parameters() order in the reference classes.
+    """
     flat = {
         coll: traverse_util.flatten_dict(dict(tree))
         for coll, tree in variables.items() if tree
@@ -314,7 +320,29 @@ def variables_to_torch_state_dict(variables, model_name):
     if model_name == "darkcapsule":
         for key, shape in _DARKCAPSULE_DECODER_SHAPES.items():
             out[key] = np.zeros(shape, np.float32)
-    return out
+    return _reorder_like_reference(out, model_name)
+
+
+def _reorder_like_reference(out, model_name):
+    """Re-insert keys in the reference's registration order.
+
+    Only CapsuleNet needs this: the fused primary-capsule entries emit
+    all 8 conv weights then all 8 biases, while the reference registers
+    weight/bias interleaved per child conv (models.py:60-62) — and
+    torch optimizer ids follow that interleaved order.
+    """
+    if model_name != "capsule":
+        return out
+    keys = ["conv1.weight", "conv1.bias"]
+    for j in range(8):
+        keys += [f"primary_capsules.capsules.{j}.weight",
+                 f"primary_capsules.capsules.{j}.bias"]
+    keys.append("traffic_sign_capsules.route_weights")
+    for idx in (0, 4, 7, 10, 12):
+        keys += [f"decoder.{idx}.weight", f"decoder.{idx}.bias"]
+    assert set(keys) == set(out), (sorted(set(out) - set(keys)),
+                                   sorted(set(keys) - set(out)))
+    return {k: out[k] for k in keys}
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +370,13 @@ def torch_optim_to_adam_moments(optim_dict, state_dict, model_name):
     except (KeyError, TypeError):
         print("[interop] optim_dict is not a torch Adam state; "
               "starting with fresh moments")
+        return None
+    if len(groups) != 1:
+        # multiple param groups can reorder ids vs registration order;
+        # the positional mapping below would silently mis-assign moments
+        print(f"[interop] optimizer has {len(groups)} param groups "
+              "(the reference builds one, main.py:280); starting with "
+              "fresh moments")
         return None
     order = _torch_param_order(state_dict)
     if len(ids) != len(order) or any(i not in opt_state for i in ids):
@@ -489,7 +524,13 @@ def export_torch_checkpoint(ckpt_path, params_cfg, out_path,
 
     optim_dict = {}
     if include_optim:
-        optim_dict = _export_adam_state(state, params_cfg, sd)
+        # the checkpoint's plateau scheduler state carries the LIVE lr
+        # (train/plateau.py state_dict); params only knows the CLI
+        # default, which may not be what the run decayed to
+        lr = (raw.get("plateau") or {}).get(
+            "lr", params_cfg.get("lr_runtime", 1e-3))
+        optim_dict = _export_adam_state(state, params_cfg.model, sd,
+                                        lr=float(np.asarray(lr)))
 
     payload = {
         "epoch": int(np.asarray(raw.get("epoch", 0))),
@@ -500,7 +541,7 @@ def export_torch_checkpoint(ckpt_path, params_cfg, out_path,
     return out_path
 
 
-def _export_adam_state(state, params_cfg, torch_sd):
+def _export_adam_state(state, model_name, torch_sd, lr=1e-3):
     """Build a torch Adam state dict from our ScaleByAdamState."""
     import torch
 
@@ -513,7 +554,6 @@ def _export_adam_state(state, params_cfg, torch_sd):
     nu = traverse_util.flatten_dict(nu_tree)
 
     order = _torch_param_order(torch_sd)
-    model_name = params_cfg.model
     per_key_m, per_key_v = {}, {}
     for entry in entries_for(model_name):
         if entry.collection != "params":
@@ -541,7 +581,7 @@ def _export_adam_state(state, params_cfg, torch_sd):
     return {
         "state": opt_state,
         "param_groups": [{
-            "lr": float(params_cfg.get("lr_runtime", 1e-3)),
+            "lr": lr,
             "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
             "amsgrad": False, "params": ids,
         }],

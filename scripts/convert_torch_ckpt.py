@@ -21,20 +21,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_params(model_name, train_frac=1.0):
-    import cs231_capsule_yolo_traffic_sign_detection_tpu as cyt
-    from cs231_capsule_yolo_traffic_sign_detection_tpu import config
+def build_params(model_name, train_frac=1):
+    """Params via the SAME assembly path as every other entry point
+    (main.load_params), so override semantics can't drift."""
+    from main import get_data_and_model_dir, load_params
 
-    if model_name not in config.model_names:
-        raise SystemExit(f"unknown model {model_name!r}; choose from "
-                         f"{config.model_names}")
-    params = cyt.Params(
-        os.path.join(config.model_dir[model_name], "params.json"))
-    params.model = model_name
-    params.train_frac = train_frac
-    params.recon = True          # register the decoder: checkpoints are
-    params.recon_coef = 5e-4     # mode-independent (capsule_net.py)
-    params.routing_impl = "xla"  # template init only; no effect on shapes
+    model_dir = get_data_and_model_dir(model_name)[1]
+    ns = argparse.Namespace(
+        model=model_name, seed=0, dropout=-1.0, recon=True,
+        recon_coef=5e-4, eval_every=1, train_frac=train_frac, npy=False,
+        routing="xla", mesh="off", dtype="float32", scan_epoch="off",
+        stream=False, remat=False, summary=True, lr=1e-3, fine_tune=-1)
+    params = load_params(model_dir, ns, with_writer=False)
     if model_name in ("darknet_d", "darknet_r"):
         # conv shapes are input-size independent; a small template input
         # makes the one-off init cheap on the host CPU

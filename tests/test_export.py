@@ -105,6 +105,45 @@ def test_export_from_checkpoint(tmp_path):
     assert labels.shape == (2,)
 
 
+def test_darkcapsule_exports_raw_grid(tmp_path):
+    """Regression: darkcapsule outputs a polar-encoded (B, g, g, 5)
+    grid — no box decode applies (the reference registers no predict fn
+    for it, main.py:263-265); export must emit the raw forward instead
+    of crashing in decode_grid."""
+    from flax import serialization
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+        build_model,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.steps import (
+        init_state,
+    )
+
+    params = Params(model="darkcapsule", n_classes=43, n_boxes=2, n_grid=2,
+                    darknet_input=64, dropout=0.0, seed=0, train_frac=1.0,
+                    recon=True, recon_coef=5e-4, routing_impl="xla",
+                    batch_size=4, mesh="off")
+    model = build_model(params)
+    state = init_state(model, params, (64, 64, 3), seed=0)
+    out_dir = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(
+        {"epoch": 1, "state": serialization.to_state_dict(state),
+         "plateau": {}},
+        is_best=False, checkpoint_dir=out_dir)
+
+    blob, fn = export.export_from_checkpoint(params, out_dir, "last",
+                                             batch=2)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "dcaps.stablehlo")))
+    assert export.selfcheck(serve, fn, (64, 64, 3), batch=2)
+    out = serve(np.zeros((2, 64, 64, 3), np.float32))
+    assert np.asarray(out).shape == (2, 2, 2, 5)
+
+
 def test_unknown_platform_artifact_rejected(tmp_path):
     """Artifacts record their platform; calling one lowered for a
     different backend fails loudly rather than silently recompiling."""
@@ -114,5 +153,5 @@ def test_unknown_platform_artifact_rejected(tmp_path):
     serve = export.load_serving(export.save(
         blob, str(tmp_path / "tpu_only.stablehlo")))
     x = np.zeros((1, 64, 64, 3), np.float32)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="exported for platforms"):
         serve(x)  # running a tpu-lowered artifact on the CPU backend

@@ -239,6 +239,79 @@ def test_unmapped_keys_raise():
         interop.torch_to_variables(sd, "cnn", dict(template))
 
 
+def test_capsule_optimizer_export_order(tmp_path):
+    """Regression: torch maps optimizer ids positionally over
+    parameters() — the reference CapsuleNet registers primary-capsule
+    weight/bias INTERLEAVED per child conv (models.py:60-62), while the
+    fused conversion entries emit all weights then all biases.  The
+    exported optim_dict must follow the reference order, or
+    capsules.0.bias would receive capsules.1.weight's moments."""
+    import models as ref_models
+
+    torch.manual_seed(0)
+    p = _RefParams()
+    ref = ref_models.CapsuleNet(p)
+    opt = torch.optim.Adam(ref.parameters(), lr=2e-4)
+    # recon branch so EVERY param (decoder included) gets a gradient —
+    # torch Adam creates state lazily, and the import falls back to
+    # fresh moments for partially-covered optimizers by design
+    scores, recon = ref(torch.randn(2, 3, 32, 32),
+                        torch.tensor([1, 2]), recon=True)
+    loss = scores.square().mean() + recon.square().mean()
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+
+    pth = str(tmp_path / "caps.pth.tar")
+    _save_reference_ckpt(ref, pth, epoch=2, optim=opt)
+    params = _params_for("capsule")
+    out_dir = str(tmp_path / "ours")
+    ckpt_path = interop.convert_torch_checkpoint(pth, params, out_dir)
+    back = str(tmp_path / "back.pth.tar")
+    interop.export_torch_checkpoint(ckpt_path, params, back)
+    payload = torch.load(back, map_location="cpu", weights_only=False)
+
+    # lr survives the round trip (plateau state is absent in converted
+    # checkpoints, so it falls back to params lr_runtime default — pin
+    # only the moment mapping here)
+    ref2 = ref_models.CapsuleNet(p)
+    ref2.load_state_dict(payload["state_dict"])
+    opt2 = torch.optim.Adam(ref2.parameters(), lr=2e-4)
+    opt2.load_state_dict(payload["optim_dict"])
+
+    # per-parameter moments must line up with the ORIGINAL optimizer's
+    orig = opt.state_dict()["state"]
+    rt = opt2.state_dict()["state"]
+    names = [k for k, q in ref.named_parameters()]
+    assert len(orig) == len(rt) == len(names)
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(
+            rt[i]["exp_avg"].numpy(), orig[i]["exp_avg"].numpy(),
+            rtol=0, atol=0, err_msg=name)
+
+
+def test_multigroup_optimizer_falls_back(tmp_path):
+    """Two param groups can reorder torch's positional ids; the import
+    must refuse the ambiguous mapping and start with fresh moments."""
+    import models as ref_models
+
+    torch.manual_seed(0)
+    ref = ref_models.ConvNet(_RefParams())
+    ps = list(ref.parameters())
+    opt = torch.optim.Adam(
+        [{"params": ps[2:]}, {"params": ps[:2], "lr": 1e-4}], lr=1e-3)
+    loss = ref(torch.randn(2, 3, 32, 32)).square().mean()
+    loss.backward()
+    opt.step()
+
+    pth = str(tmp_path / "mg.pth.tar")
+    _save_reference_ckpt(ref, pth, epoch=1, optim=opt)
+    out_dir = str(tmp_path / "out")
+    interop.convert_torch_checkpoint(pth, _params_for("cnn"), out_dir)
+    raw = ckpt.load_checkpoint(os.path.join(out_dir, "last.ckpt"))
+    assert int(np.asarray(raw["state"]["opt_state"]["count"])) == 0
+
+
 def test_finetuned_optimizer_falls_back(tmp_path, capsys):
     """A fine-tuned checkpoint (optimizer saw only trainable params)
     converts weights but starts with fresh moments."""
