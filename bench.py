@@ -158,6 +158,10 @@ def bench_tpu(dtype="float32"):
             cal = jnp.asarray(np.random.RandomState(0).rand(
                 min(BATCH, 32), SIZE, SIZE, 3).astype(np.float32))
         variables = quant.quantize_darknet(variables, x_cal=cal)
+        if cal is not None and os.environ.get("BENCH_INT8_S2D"):
+            # s2d input stage composed with the int8-resident chain
+            # (bit-identical, tests/test_quant.py)
+            variables = quant.prepare_s2d_int8(variables)
 
     # The pipeline returns a scalar checksum of the decoded outputs:
     # over a tunneled TPU backend, block_until_ready resolves before
@@ -171,7 +175,11 @@ def bench_tpu(dtype="float32"):
             # activations stay int8 in HBM; bit-identical to the
             # layer-wise static path, tests/test_quant.py).
             # BENCH_INT8_LAYERWISE=1 A/Bs the f32-resident variant.
-            if ("act_scales" in variables
+            if "s2d" in variables:
+                y = quant.darknet_int8_resident_s2d_apply(
+                    variables, x.astype(jnp.float32),
+                    n_boxes=N_BOXES, n_classes=N_CLASSES)
+            elif ("act_scales" in variables
                     and not os.environ.get("BENCH_INT8_LAYERWISE")):
                 y = quant.darknet_int8_resident_apply(
                     variables, x.astype(jnp.float32),

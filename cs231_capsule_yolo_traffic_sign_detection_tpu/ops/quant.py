@@ -154,6 +154,38 @@ def _max_pool_int8(z):
         padding="VALID")
 
 
+def _requant(a, scale):
+    return jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+
+
+def _resident_tail(qparams, z, start, *, n_boxes, n_classes):
+    """Layers [start..18) of the int8-resident chain + the f32 head.
+
+    `z` is the int8 input of layer `start`, quantized at
+    act_scales[start].
+    """
+    act_scales = qparams["act_scales"]
+    layers = qparams["layers"]
+    n = len(DARKNET_LAYERS)
+    x = None
+    for i in range(start, n):
+        (feats, k, after), L = DARKNET_LAYERS[i], layers[i]
+        acc = _conv(z, L["wq"], k, accum_dtype=jnp.int32)
+        sx = act_scales[i]
+        a = jax.nn.leaky_relu(
+            acc.astype(jnp.float32) * (sx * L["ws"]) + L["b"], 0.1)
+        if i + 1 < n:
+            z = _requant(a, act_scales[i + 1])
+            if after == "mp":
+                z = _max_pool_int8(z)
+        else:
+            x = a  # last quantized layer: stay f32 for the head
+            if after == "mp":  # keep the bit-identity contract with
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))  # _apply
+    out = _conv(x, qparams["head"], 1)
+    return _head(out, n_boxes, n_classes)
+
+
 def darknet_int8_resident_apply(qparams, x, *, n_boxes, n_classes):
     """int8-resident forward: inter-layer activations stay int8 in HBM.
 
@@ -169,28 +201,67 @@ def darknet_int8_resident_apply(qparams, x, *, n_boxes, n_classes):
     input bytes, every epilogue computes the same f32 expression
     (tests/test_quant.py pins the equality).
     """
+    z = _requant(x.astype(jnp.float32), qparams["act_scales"][0])
+    return _resident_tail(qparams, z, 0, n_boxes=n_boxes,
+                          n_classes=n_classes)
+
+
+def prepare_s2d_int8(qparams):
+    """Phase-stack layer 1's INT8 kernel for the s2d input stage.
+
+    `ops.input_stage.phase_kernel` only places (and zero-pads) kernel
+    entries, so it is exact on the int8 kernel; all 4 phases of an
+    output channel reuse the SAME per-channel weight scale (each phase
+    kernel is a subset of the original taps), which is what makes the
+    phase max commute with requantization below.
+    """
+    import numpy as np
+
+    from .input_stage import phase_kernel
+
+    L0 = qparams["layers"][0]
+    wp, _ = phase_kernel(np.asarray(L0["wq"]), np.zeros((1,), np.float32))
+    return dict(qparams, s2d={
+        "wq": jnp.asarray(np.asarray(wp), jnp.int8),
+        "ws": jnp.tile(L0["ws"], 4),
+        "b": jnp.tile(L0["b"], 4),
+    })
+
+
+def darknet_int8_resident_s2d_apply(qparams, x, *, n_boxes, n_classes):
+    """int8-resident chain with the space-to-depth input stage.
+
+    Replaces conv1(448^2, depth-27 contraction) + int8 pool1 — the two
+    largest ops in the int8 serving profile (BASELINE.md) — with ONE
+    depth-108 int8 conv on the s2d image whose epilogue requantizes,
+    then an int8 channel-group max:
+
+        maxpool2(requant(leaky(conv1)))
+      = groupmax_4(requant(leaky(conv_s2d)))
+
+    Exact (bit-identical to `darknet_int8_resident_apply`,
+    tests/test_quant.py): each phase accumulator equals the conv1
+    accumulator at its pooled position (integer placement, zero padding
+    exact at zero-point 0), the epilogue applies the same per-channel
+    scale/bias to every phase, and requant is monotone so it commutes
+    with the max.  `qparams` from prepare_s2d_int8.
+    """
+    from .input_stage import space_to_depth
+
     act_scales = qparams["act_scales"]
-    layers = qparams["layers"]
-    n = len(DARKNET_LAYERS)
-    s0 = act_scales[0]
-    z = jnp.clip(jnp.round(x.astype(jnp.float32) / s0),
-                 -127, 127).astype(jnp.int8)
-    for i, ((feats, k, after), L) in enumerate(zip(DARKNET_LAYERS, layers)):
-        acc = _conv(z, L["wq"], k, accum_dtype=jnp.int32)
-        sx = act_scales[i]
-        a = jax.nn.leaky_relu(
-            acc.astype(jnp.float32) * (sx * L["ws"]) + L["b"], 0.1)
-        if i + 1 < n:
-            z = jnp.clip(jnp.round(a / act_scales[i + 1]),
-                         -127, 127).astype(jnp.int8)
-            if after == "mp":
-                z = _max_pool_int8(z)
-        else:
-            x = a  # last quantized layer: stay f32 for the head
-            if after == "mp":  # keep the bit-identity contract with
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))  # _apply
-    out = _conv(x, qparams["head"], 1)
-    return _head(out, n_boxes, n_classes)
+    s2d = qparams["s2d"]
+    z = _requant(x.astype(jnp.float32), act_scales[0])
+    zs = space_to_depth(z)                            # int8, same bytes
+    acc = _conv(zs, s2d["wq"], 3, accum_dtype=jnp.int32)
+    a = jax.nn.leaky_relu(
+        acc.astype(jnp.float32) * (act_scales[0] * s2d["ws"]) + s2d["b"],
+        0.1)
+    z = _requant(a, act_scales[1])                    # (B, H, W, 4*32) int8
+    b_, h, w, _ = z.shape
+    n_out = z.shape[-1] // 4
+    z = jnp.max(z.reshape(b_, h, w, 4, n_out), axis=3)
+    return _resident_tail(qparams, z, 1, n_boxes=n_boxes,
+                          n_classes=n_classes)
 
 
 def darknet_int8_apply(qparams, x, *, n_boxes, n_classes):

@@ -31,7 +31,14 @@ def save_checkpoint(state_dict, is_best, checkpoint_dir):
     """Serialize a {epoch, state, ...} dict to last.ckpt (+ best.ckpt).
 
     Reference parity: utils.py:40-49.
+
+    Multi-host: only process 0 writes — every process holds the same
+    replicated state, and concurrent writers to a shared filesystem
+    would race on the same path (the tmp+rename below is atomic per
+    writer, not across writers).
     """
+    if jax.process_index() != 0:
+        return
     if not os.path.exists(checkpoint_dir):
         print("Checkpoint Directory does not exist! "
               "Making directory {}".format(checkpoint_dir))

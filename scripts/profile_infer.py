@@ -16,34 +16,23 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))  # _serving_prof
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
-    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
+    import _serving_prof
 
     batch, size = 128, 448
-    model = DarkNet(n_boxes=1, n_classes=43, dropout=0.0)
-    x0 = jnp.zeros((batch, size, size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
-    variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, variables)
-
-    @jax.jit
-    def step(variables, x):
-        y = model.apply(variables, x.astype(jnp.bfloat16),
-                        train=False).astype(jnp.float32)
-        g = size // 32
-        d = decode.decode_grid(y, n_classes=43, n_boxes=1, img_size=size,
-                               max_boxes=g * g, conf_th=0.5)
-        return jnp.sum(d["conf"]) + jnp.sum(d["xy"])
+    dtype = os.environ.get("PROF_DTYPE", "bfloat16")
+    print(f"[profile] serving dtype: {dtype}", file=sys.stderr)
+    step_fn, variables, x_dtype = _serving_prof.build(dtype, batch, size)
+    step = jax.jit(step_fn)
 
     x = jnp.asarray(np.random.RandomState(0).rand(
-        batch, size, size, 3).astype(np.float32)).astype(jnp.bfloat16)
+        batch, size, size, 3).astype(np.float32)).astype(x_dtype)
     print("warmup:", float(step(variables, x)), file=sys.stderr)
 
     out = "/tmp/cyt_trace"

@@ -19,6 +19,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))  # _serving_prof
 
 
 def newest_trace():
@@ -74,8 +75,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import DarkNet
-    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import decode
+    import _serving_prof
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -84,23 +84,12 @@ def main():
         pass
 
     batch, size = 128, 448
-    model = DarkNet(n_boxes=1, n_classes=43, dropout=0.0)
-    x0 = jnp.zeros((batch, size, size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
-    variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, variables)
-
-    def step(variables, x):
-        y = model.apply(variables, x.astype(jnp.bfloat16),
-                        train=False).astype(jnp.float32)
-        g = size // 32
-        d = decode.decode_grid(y, n_classes=43, n_boxes=1, img_size=size,
-                               max_boxes=g * g, conf_th=0.5)
-        return jnp.sum(d["conf"]) + jnp.sum(d["xy"])
+    dtype = os.environ.get("PROF_DTYPE", "bfloat16")
+    print(f"[report] serving dtype: {dtype}", file=sys.stderr)
+    step, variables, x_dtype = _serving_prof.build(dtype, batch, size)
 
     lowered = jax.jit(step).lower(variables, jnp.zeros(
-        (batch, size, size, 3), jnp.bfloat16))
+        (batch, size, size, 3), x_dtype))
     compiled = lowered.compile()
     hlo = compiled.as_text()
     roots = fusion_roots(hlo)

@@ -51,3 +51,27 @@ def test_global_batch_from_process_local_single_process():
     # value-identical to the plain device_put path
     ref = par.shard_batch(jax.numpy.asarray(x), mesh)
     np.testing.assert_array_equal(np.asarray(global_x), np.asarray(ref))
+
+
+def test_checkpoint_writes_only_on_process_zero(tmp_path, monkeypatch):
+    """Multi-host: every process holds the same replicated state; only
+    process 0 may write, or concurrent writers race on the same path."""
+    import os
+
+    import jax
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+
+    d = str(tmp_path / "ckpts")
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    ckpt.save_checkpoint({"epoch": 1, "state": {}}, is_best=True,
+                         checkpoint_dir=d)
+    assert not os.path.exists(os.path.join(d, "last.ckpt"))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    ckpt.save_checkpoint({"epoch": 1, "state": {}}, is_best=True,
+                         checkpoint_dir=d)
+    assert os.path.exists(os.path.join(d, "last.ckpt"))
+    assert os.path.exists(os.path.join(d, "best.ckpt"))

@@ -152,3 +152,36 @@ def test_int8_calibrated_matches_dynamic_bands(darknet_setup):
     err = np.abs(np.asarray(y_q) - np.asarray(y_ref))
     assert err.mean() < 0.01, err.mean()
     assert err.max() < 0.12, err.max()
+
+
+def test_int8_s2d_bit_identical_to_resident(darknet_setup):
+    """The s2d input stage (one depth-108 int8 conv + epilogue requant
+    + int8 channel-group max) must be BIT-identical to the standard
+    int8-resident chain: phase accumulators are the same integer sums,
+    all phases of a channel share one weight scale, and requant is
+    monotone so it commutes with the phase max."""
+    model, variables, x, y_ref = darknet_setup
+    q = quant.quantize_darknet(variables, x_cal=x)
+    y_res = quant.darknet_int8_resident_apply(q, x, n_boxes=1, n_classes=43)
+    qs = quant.prepare_s2d_int8(q)
+    y_s2d = quant.darknet_int8_resident_s2d_apply(
+        qs, x, n_boxes=1, n_classes=43)
+    np.testing.assert_array_equal(np.asarray(y_res), np.asarray(y_s2d))
+
+
+def test_int8_s2d_jits(darknet_setup):
+    model, variables, x, y_ref = darknet_setup
+    qs = quant.prepare_s2d_int8(quant.quantize_darknet(variables, x_cal=x))
+
+    @jax.jit
+    def f(qs, x):
+        return quant.darknet_int8_resident_s2d_apply(
+            qs, x, n_boxes=1, n_classes=43)
+
+    y1 = f(qs, x)
+    y2 = quant.darknet_int8_resident_s2d_apply(qs, x, n_boxes=1, n_classes=43)
+    # jit fuses the f32 epilogues/head differently than eager (~1e-5
+    # reassociation); the BIT-identity contract is vs the standard
+    # resident chain under the same regime (test above)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=5e-5)
