@@ -24,14 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_params(model_name, train_frac=1):
     """Params via the SAME assembly path as every other entry point
     (main.load_params), so override semantics can't drift."""
+    import main as main_mod
     from main import get_data_and_model_dir, load_params
 
     model_dir = get_data_and_model_dir(model_name)[1]
-    ns = argparse.Namespace(
-        model=model_name, seed=0, dropout=-1.0, recon=True,
-        recon_coef=5e-4, eval_every=1, train_frac=train_frac, npy=False,
-        routing="xla", mesh="off", dtype="float32", scan_epoch="off",
-        stream=False, remat=False, summary=True, lr=1e-3, fine_tune=-1)
+    # derive the namespace from main's OWN parser defaults so new CLI
+    # flags can never drift out of sync with this script
+    ns = main_mod.parser.parse_args([])
+    ns.model = model_name
+    ns.train_frac = train_frac
+    ns.mesh = "off"
+    ns.routing = "xla"  # template init only; no effect on shapes
     params = load_params(model_dir, ns, with_writer=False)
     if model_name in ("darknet_d", "darknet_r"):
         # conv shapes are input-size independent; a small template input

@@ -62,11 +62,15 @@ def main():
     )
 
     model_dir = args.model_dir or get_data_and_model_dir(args.model)[1]
-    ns = argparse.Namespace(
-        model=args.model, seed=0, dropout=-1.0, recon=True, recon_coef=5e-4,
-        eval_every=1, train_frac=args.train_frac, npy=False, routing="auto",
-        mesh="off", dtype="float32", scan_epoch="off", stream=False,
-        remat=False, summary=True, lr=1e-3, fine_tune=-1)
+    # derive the namespace from main's OWN parser defaults so new CLI
+    # flags can never drift out of sync with this script
+    import main as main_mod
+
+    ns = main_mod.parser.parse_args([])
+    ns.model = args.model
+    ns.train_frac = args.train_frac
+    ns.mesh = "off"
+    ns.routing = "auto"
     params = load_params(model_dir, ns, with_writer=False)
 
     dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "bf16") else jnp.float32
