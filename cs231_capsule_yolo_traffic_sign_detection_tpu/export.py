@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
+def _cast_variables(variables, dtype):
+    """f32 weights -> serving dtype (shared by every serving-fn factory)."""
+    if dtype == jnp.float32:
+        return variables
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        variables)
+
+
 def make_detector_fn(model, variables, *, n_boxes, n_classes, img_size,
                      conf_th=0.5, use_nms=False, dtype=jnp.float32):
     """End-to-end detection serving fn: x (B,S,S,3) f32 -> decode dict.
@@ -40,10 +49,7 @@ def make_detector_fn(model, variables, *, n_boxes, n_classes, img_size,
     """
     from .ops import decode as decode_ops
 
-    if dtype != jnp.float32:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
-            variables)
+    variables = _cast_variables(variables, dtype)
     g = img_size // 32
 
     def fn(x):
@@ -62,10 +68,7 @@ def make_detector_fn(model, variables, *, n_boxes, n_classes, img_size,
 
 def make_classifier_fn(model, variables, *, dtype=jnp.float32):
     """Classifier serving fn: x (B,32,32,3) f32 -> (scores, argmax)."""
-    if dtype != jnp.float32:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
-            variables)
+    variables = _cast_variables(variables, dtype)
 
     def fn(x):
         scores = model.apply(variables, x.astype(dtype), train=False)
@@ -77,10 +80,7 @@ def make_classifier_fn(model, variables, *, dtype=jnp.float32):
 
 def make_grid_fn(model, variables, *, dtype=jnp.float32):
     """Raw grid forward (darkcapsule): x -> (B, g, g, 5) f32."""
-    if dtype != jnp.float32:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
-            variables)
+    variables = _cast_variables(variables, dtype)
 
     def fn(x):
         return model.apply(
@@ -110,10 +110,17 @@ def export_serving(fn, input_shape, *, batch=None, platforms=None):
         return jax_export.export(jitted, platforms=platforms)(
             args).serialize()
     except Exception as e:
-        raise ValueError(
-            "symbolic-batch export failed for this graph "
-            f"({type(e).__name__}: {e}); re-export with an explicit "
-            "batch= to pin the batch dimension instead") from e
+        # only polymorphism failures earn the "pin batch=" advice;
+        # anything else (unsupported platform op, a bug in fn) would
+        # fail again at a fixed batch, so it propagates untouched
+        msg = str(e).lower()
+        if any(word in msg for word in
+               ("symbolic", "polymorph", "dimension variable")):
+            raise ValueError(
+                "symbolic-batch export failed for this graph "
+                f"({type(e).__name__}: {e}); re-export with an explicit "
+                "batch= to pin the batch dimension instead") from e
+        raise
 
 
 def save(blob, path):

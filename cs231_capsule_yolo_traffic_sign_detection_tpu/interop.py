@@ -490,10 +490,19 @@ def convert_torch_checkpoint(pth_path, params_cfg, out_dir,
 
     new_state = state.replace(params=new_params, batch_stats=new_stats,
                               opt_state=opt_state, step=step)
+    # seed the plateau scheduler with the torch optimizer's live lr:
+    # the reference's resume restores it through optim_dict
+    # (main.py:151), so a converted run must continue at the decayed
+    # lr, not the CLI default.  Counters reset — exactly like the
+    # reference, which constructs a fresh scheduler on resume.
+    plateau_state = {}
+    groups = (raw.get("optim_dict") or {}).get("param_groups") or []
+    if groups and "lr" in groups[0]:
+        plateau_state = {"lr": float(groups[0]["lr"])}
     payload = {
         "epoch": int(raw.get("epoch", 0)),
         "state": serialization.to_state_dict(new_state),
-        "plateau": {},
+        "plateau": plateau_state,
     }
     ckpt.save_checkpoint(payload, is_best=best, checkpoint_dir=out_dir)
     return os.path.join(out_dir, "last.ckpt")

@@ -79,6 +79,7 @@ class AsyncCheckpointer:
     def __init__(self, max_backlog=2):
         self._q = queue.Queue(maxsize=max_backlog)
         self._err = None
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -86,8 +87,9 @@ class AsyncCheckpointer:
         while True:
             item = self._q.get()
             try:
-                if item is not None:
-                    save_checkpoint(*item)
+                if item is None:  # shutdown sentinel from flush()
+                    return
+                save_checkpoint(*item)
             except BaseException as e:  # surfaced on flush()
                 if self._err is None:
                     self._err = e
@@ -97,6 +99,8 @@ class AsyncCheckpointer:
     def save(self, state_dict, is_best, checkpoint_dir):
         if jax.process_index() != 0:
             return
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointer used after flush()")
         self._raise_pending()
         # snapshot with an on-device copy: the live state's buffers are
         # DONATED to the next train step, which would delete them out
@@ -110,8 +114,14 @@ class AsyncCheckpointer:
         self._q.put((snap, is_best, checkpoint_dir))
 
     def flush(self):
-        """Block until every enqueued save hit disk; re-raise errors."""
-        self._q.join()
+        """Drain every enqueued save to disk, stop the worker thread,
+        and re-raise the first worker error.  Terminal: the instance is
+        unusable afterwards (one writer per training run)."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)  # shutdown sentinel
+            self._q.join()
+            self._thread.join()
         self._raise_pending()
 
     def _raise_pending(self):

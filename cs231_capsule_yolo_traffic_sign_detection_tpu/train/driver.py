@@ -513,69 +513,74 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
     best_loss_ev = float("inf")
 
     # --async_ckpt: D2H + serialize + write happen on a worker thread
-    # (measured 1.6-2.3s/epoch for the 448px detectors, ~3x their
-    # per-epoch compute); same last/best semantics, flushed at the end
+    # (same last/best semantics; COMPAT.md #29 for when it pays).  The
+    # flush runs in a finally so an exception mid-training (OOM, ^C)
+    # still lands every enqueued checkpoint on disk before unwinding —
+    # the sync path's crash behavior.
     async_ckpt = (ckpt.AsyncCheckpointer()
                   if params.get("async_ckpt", False) else None)
     save_ckpt = async_ckpt.save if async_ckpt else ckpt.save_checkpoint
 
-    for epoch in range(params.n_epochs):
-        if_eval = ((epoch + 1) % params.eval_every == 0)
-        metric_on = if_eval and not no_metric
+    try:
+        for epoch in range(params.n_epochs):
+            if_eval = ((epoch + 1) % params.eval_every == 0)
+            metric_on = if_eval and not no_metric
 
-        bar = None
-        if progress:
-            from tqdm import trange
-            n_batch = (len(y_tr) + params.batch_size - 1) // params.batch_size
-            bar = trange(n_batch)
+            bar = None
+            if progress:
+                from tqdm import trange
+                n_batch = ((len(y_tr) + params.batch_size - 1)
+                           // params.batch_size)
+                bar = trange(n_batch)
 
-        loss_tr, metric_tr = trainer.train_epoch(
-            x_tr, y_tr, plateau.lr, metric_on=metric_on, progress=bar)
-        loss_ev, metric_ev = trainer.eval_epoch(
-            x_ev, y_ev, metric_on=metric_on)
-        if bar is not None:
-            bar.close()
+            loss_tr, metric_tr = trainer.train_epoch(
+                x_tr, y_tr, plateau.lr, metric_on=metric_on, progress=bar)
+            loss_ev, metric_ev = trainer.eval_epoch(
+                x_ev, y_ev, metric_on=metric_on)
+            if bar is not None:
+                bar.close()
 
-        plateau.step(loss_tr)
+            plateau.step(loss_tr)
 
-        if writer is not None:
-            writer.add_scalar("train_loss", loss_tr, epoch)
-            writer.add_scalar("eval_loss", loss_ev, epoch)
-
-        is_best = metric_ev > best_metric_ev
-        save_ckpt(
-            trainer.state_dict(epoch + 1, plateau),
-            is_best=is_best,
-            checkpoint_dir=model_dir + str(params.train_frac),
-        )
-        if is_best:
-            best_metric_ev = metric_ev
-        if loss_ev < best_loss_ev:
-            best_loss_ev = loss_ev
-
-        if if_eval:
             if writer is not None:
-                writer.add_scalar("train_metric", metric_tr, epoch)
-                writer.add_scalar("eval_metric", metric_ev, epoch)
-            print(
-                "epoch {} | train loss: {:05.3f} | eval loss: {:05.3f} |"
-                " best eval loss: {:05.3f} | "
-                "train metric: {:05.3f} | eval metric: {:05.3f} | "
-                "best eval metric {:05.3f}".format(
-                    epoch + 1, loss_tr, loss_ev, best_loss_ev,
-                    metric_tr, metric_ev, best_metric_ev))
-            metrics_tr.append(metric_tr)
-            metrics_ev.append(metric_ev)
-            np.save(os.path.join(model_dir, "metrics_tr"), metrics_tr)
-            np.save(os.path.join(model_dir, "metrics_ev"), metrics_ev)
+                writer.add_scalar("train_loss", loss_tr, epoch)
+                writer.add_scalar("eval_loss", loss_ev, epoch)
 
-        losses_tr.append(loss_tr)
-        losses_ev.append(loss_ev)
-        np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
-        np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
+            is_best = metric_ev > best_metric_ev
+            save_ckpt(
+                trainer.state_dict(epoch + 1, plateau),
+                is_best=is_best,
+                checkpoint_dir=model_dir + str(params.train_frac),
+            )
+            if is_best:
+                best_metric_ev = metric_ev
+            if loss_ev < best_loss_ev:
+                best_loss_ev = loss_ev
 
-    if async_ckpt is not None:
-        async_ckpt.flush()  # every enqueued save is on disk past here
+            if if_eval:
+                if writer is not None:
+                    writer.add_scalar("train_metric", metric_tr, epoch)
+                    writer.add_scalar("eval_metric", metric_ev, epoch)
+                print(
+                    "epoch {} | train loss: {:05.3f} | eval loss: {:05.3f} |"
+                    " best eval loss: {:05.3f} | "
+                    "train metric: {:05.3f} | eval metric: {:05.3f} | "
+                    "best eval metric {:05.3f}".format(
+                        epoch + 1, loss_tr, loss_ev, best_loss_ev,
+                        metric_tr, metric_ev, best_metric_ev))
+                metrics_tr.append(metric_tr)
+                metrics_ev.append(metric_ev)
+                np.save(os.path.join(model_dir, "metrics_tr"), metrics_tr)
+                np.save(os.path.join(model_dir, "metrics_ev"), metrics_ev)
+
+            losses_tr.append(loss_tr)
+            losses_ev.append(loss_ev)
+            np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
+            np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
+    finally:
+        if async_ckpt is not None:
+            # every enqueued save is on disk past here; worker joined
+            async_ckpt.flush()
     if writer is not None:
         writer.close()
     return best_metric_ev

@@ -14,6 +14,10 @@ import numpy as np
 
 def build(dtype="bfloat16", batch=128, size=448):
     """Returns (step_fn, variables, x_dtype) for the serving profile."""
+    if dtype not in ("bfloat16", "int8"):
+        raise ValueError(
+            f"PROF_DTYPE={dtype!r}: profile either 'bfloat16' (default "
+            "serving path) or 'int8' (the int8-resident chain)")
     import jax
     import jax.numpy as jnp
 

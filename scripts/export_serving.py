@@ -36,7 +36,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="pin the batch dim (default: symbolic)")
     ap.add_argument("--dtype", default="float32",
-                    help="serving compute dtype: float32 | bfloat16")
+                    choices=["float32", "f32", "bfloat16", "bf16"],
+                    help="serving compute dtype (int8 serving is a "
+                         "calibrated predict-time path, not exportable "
+                         "as a weights-baked artifact yet)")
     ap.add_argument("--conf_th", type=float, default=0.5)
     ap.add_argument("--nms", action="store_true",
                     help="bake on-device NMS into the artifact")

@@ -144,6 +144,20 @@ def test_darkcapsule_exports_raw_grid(tmp_path):
     assert np.asarray(out).shape == (2, 2, 2, 5)
 
 
+def test_multi_platform_artifact(tmp_path):
+    """One artifact lowered for BOTH tpu and cpu (exported from the CPU
+    host — cross-platform lowering) runs on the cpu backend."""
+    model = ConvNet(n_classes=43, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    fn = export.make_classifier_fn(model, variables)
+    blob = export.export_serving(fn, (32, 32, 3), batch=2,
+                                 platforms=("tpu", "cpu"))
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "multi.stablehlo")))
+    assert export.selfcheck(serve, fn, (32, 32, 3), batch=2)
+
+
 def test_unknown_platform_artifact_rejected(tmp_path):
     """Artifacts record their platform; calling one lowered for a
     different backend fails loudly rather than silently recompiling."""

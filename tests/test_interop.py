@@ -334,3 +334,25 @@ def test_finetuned_optimizer_falls_back(tmp_path, capsys):
     assert int(np.asarray(raw["state"]["opt_state"]["count"])) == 0
     mu_leaf = raw["state"]["opt_state"]["mu"]["Conv_0"]["kernel"]
     assert float(np.abs(np.asarray(mu_leaf)).max()) == 0.0
+
+
+def test_converted_checkpoint_seeds_plateau_lr(tmp_path):
+    """The torch optimizer's live (possibly decayed) lr must survive
+    conversion: the reference's resume restores it via optim_dict
+    (main.py:151), so our driver's plateau scheduler is seeded with it
+    instead of silently training at the CLI default."""
+    import models as ref_models
+
+    torch.manual_seed(0)
+    ref = ref_models.ConvNet(_RefParams())
+    opt = torch.optim.Adam(ref.parameters(), lr=2.5e-4)  # "decayed" lr
+    loss = ref(torch.randn(2, 3, 32, 32)).square().mean()
+    loss.backward()
+    opt.step()
+
+    pth = str(tmp_path / "lr.pth.tar")
+    _save_reference_ckpt(ref, pth, epoch=4, optim=opt)
+    out_dir = str(tmp_path / "out")
+    interop.convert_torch_checkpoint(pth, _params_for("cnn"), out_dir)
+    raw = ckpt.load_checkpoint(os.path.join(out_dir, "last.ckpt"))
+    assert abs(float(raw["plateau"]["lr"]) - 2.5e-4) < 1e-12

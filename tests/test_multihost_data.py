@@ -150,3 +150,22 @@ def test_async_checkpointer_cli_trajectory(tmp_path):
     b = jax.tree_util.tree_leaves(asyn["state"]["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_checkpointer_shutdown(tmp_path):
+    """flush() joins the worker thread (no leak per training run) and
+    the instance refuses reuse afterwards."""
+    import pytest
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        checkpoint as ckpt,
+    )
+
+    d = str(tmp_path / "x")
+    ac = ckpt.AsyncCheckpointer()
+    ac.save({"epoch": 1, "state": {}}, is_best=False, checkpoint_dir=d)
+    ac.flush()
+    assert not ac._thread.is_alive()
+    ac.flush()  # idempotent
+    with pytest.raises(RuntimeError, match="after flush"):
+        ac.save({"epoch": 2, "state": {}}, is_best=False, checkpoint_dir=d)
