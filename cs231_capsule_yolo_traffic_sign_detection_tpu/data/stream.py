@@ -95,7 +95,7 @@ def iter_batches(x, y, perm, n_batch, ring=3, n_threads=2, copy=True):
 
 def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
                                process_count=None, ring=3, n_threads=2,
-                               copy=True):
+                               copy=True, shard_rows=None):
     """Multi-host streaming: this process's slice of each global batch.
 
     Composes the prefetcher with the pod data layout (SURVEY.md §7.9,
@@ -104,6 +104,13 @@ def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
     within-batch row range, and the sharded global array is assembled
     collective-free with parallel.mesh.global_batch_from_process_local.
     Yields (x_local_f32, y_local, n_global_rows).
+
+    ``shard_rows`` (typically the mesh's 'data' axis size): a concrete
+    jax.Array cannot take an uneven leading-axis sharding, so a batch
+    whose global size is not a multiple of ``shard_rows`` must be
+    REPLICATED by the consumer (the mesh driver's ragged-tail rule,
+    parallel.mesh.place_batch) — such batches are yielded in full on
+    every process (local rows == n_global_rows) instead of sliced.
     """
     from ..parallel.mesh import process_batch_slice
 
@@ -113,11 +120,15 @@ def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
     offsets = batch_offsets(perm.shape[0], n_batch)
     sub, sub_off, globals_ = [], [0], []
     for lo, hi in zip(offsets[:-1], offsets[1:]):
-        s, e = process_batch_slice(
-            int(hi - lo), process_index, process_count)
+        n_glob = int(hi - lo)
+        if shard_rows is not None and n_glob % int(shard_rows) != 0:
+            s, e = 0, n_glob  # ragged tail: full rows everywhere
+        else:
+            s, e = process_batch_slice(
+                n_glob, process_index, process_count)
         sub.append(perm[lo + s: lo + e])
         sub_off.append(sub_off[-1] + (e - s))
-        globals_.append(int(hi - lo))
+        globals_.append(n_glob)
     sub_perm = (np.concatenate(sub) if sub
                 else np.zeros(0, np.int64)).astype(np.int64)
     sub_off = np.asarray(sub_off, np.int64)

@@ -69,11 +69,24 @@ def _batched_forward(step, variables, x, batch_size, mesh=None):
     need host data.
     """
     outs = []
+    cpu_mesh = mesh is not None and jax.default_backend() == "cpu"
     for i in range(0, x.shape[0], batch_size):
         xb = x[i : i + batch_size]
         if mesh is not None:
             xb = par.place_batch(jnp.asarray(xb), mesh)
         outs.append(step(variables, xb))
+        if cpu_mesh and len(outs) % 8 == 0:
+            # bound the queue: jaxlib 0.9.0's in-process CPU
+            # collectives intermittently trip their rendezvous timeout
+            # under deep multi-partition queues (see
+            # Trainer._throttle_mesh_queue)
+            jax.block_until_ready(outs[-1])
+    if mesh is not None:
+        # drain before the wide fan-in: a many-ary concat dispatched
+        # onto a deep queue of multi-partition programs can deadlock
+        # jaxlib 0.9.0's CPU collective rendezvous (see
+        # Trainer._drain_before_fanin)
+        jax.block_until_ready(outs)
     return jnp.concatenate(outs, axis=0)
 
 

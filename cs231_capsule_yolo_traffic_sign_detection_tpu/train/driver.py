@@ -221,6 +221,75 @@ class Trainer:
             return x_bch, y_bch
         return par.place_batch((x_bch, jnp.asarray(y_bch)), self.mesh)
 
+    def _stream_mesh_batches(self, x, y, perm, n_batch):
+        """--stream x --mesh: the multi-host input path (SURVEY.md §7.9).
+
+        Each process's prefetcher gathers only its contiguous row range
+        of every global batch; the batch-sharded global array is then
+        assembled collective-free from the addressable rows
+        (jax.make_array_from_process_local_data) — no host ever
+        materializes a batch it doesn't own.  Ragged tails (global rows
+        not a multiple of the 'data' axis) cannot take an uneven
+        sharding, so they arrive in full on every process and are
+        replicated — byte-identical to place_batch's tail rule, which
+        keeps the compiled step's numerics equal to single-device.
+        Yields placed batches whose shardings match what _place_batch
+        would choose, so the epoch loop's placement is an identity.
+        """
+        import jax.numpy as jnp
+
+        n_data = self.mesh.shape["data"]
+        for xb, yb, n_glob in data_stream.iter_batches_process_local(
+                x, y, perm, n_batch, shard_rows=n_data):
+            if n_glob % n_data == 0:
+                yield par.global_batch_from_process_local(
+                    (xb, yb), self.mesh)
+            else:
+                yield par.place_batch(
+                    (jnp.asarray(xb), jnp.asarray(yb)), self.mesh)
+
+    # Batches between queue drains on the CPU-backend mesh path (see
+    # _throttle_mesh_queue).
+    _CPU_MESH_QUEUE = 8
+
+    def _drain_before_fanin(self, parts):
+        """Drain the dispatch queue before an epoch-end fan-in (mesh).
+
+        On jaxlib 0.9.0's CPU runtime, dispatching a WIDE program (the
+        epoch-end stack/concat over dozens of per-batch outputs) while
+        a deep queue of multi-partition mesh programs is still in
+        flight can deadlock the collective rendezvous: one device's
+        partition never starts, the 40 s rendezvous timeout trips, and
+        the process aborts (reproduced deterministically with >=64
+        queued 8-partition train steps + a 64-ary jnp.stack; 64 steps
+        alone or a pre-drained stack complete fine).  Single-device
+        queues are immune, so this costs nothing without a mesh; with
+        one it is a single host sync per epoch, immediately before the
+        float() fetch that syncs anyway.
+        """
+        if self.mesh is not None:
+            jax.block_until_ready(parts)
+
+    def _throttle_mesh_queue(self, i_bch, ref):
+        """Bound the in-flight queue in mesh epochs on the CPU backend.
+
+        The same jaxlib 0.9.0 CPU runtime that deadlocks on wide
+        fan-ins (see _drain_before_fanin) also intermittently trips its
+        40 s collective-rendezvous timeout when dozens of 8-partition
+        programs sit queued behind per-batch host->sharded uploads on
+        an oversubscribed host (the virtual-8-device test mesh runs on
+        one core): a partition of a queued step can be starved past the
+        timeout, which aborts the whole process.  Draining every
+        _CPU_MESH_QUEUE batches keeps the queue shallow so no program
+        can wait starved behind a long convoy.  CPU-backend only: the
+        race is in the CPU runtime's in-process collectives, and on
+        TPU pods this would cost real pipelining.
+        """
+        if (self.mesh is not None
+                and (i_bch + 1) % self._CPU_MESH_QUEUE == 0
+                and jax.default_backend() == "cpu"):
+            jax.block_until_ready(ref)
+
     def _device_labels(self, tag, y):
         """Device-cached labels in their native dtype (no f32 cast)."""
         import jax.numpy as jnp
@@ -357,9 +426,13 @@ class Trainer:
         elif self.stream:
             # host-streaming (--stream): same permutation draw as the
             # other paths; the native threaded prefetcher
-            # (data/stream.py) gathers each batch ahead of the device
+            # (data/stream.py) gathers each batch ahead of the device.
+            # With a mesh, each process streams only its rows of every
+            # global batch (_stream_mesh_batches).
             perm = np.random.permutation(n)
-            batches = data_stream.iter_batches(x, y, perm, n_batch)
+            batches = (self._stream_mesh_batches(x, y, perm, n_batch)
+                       if self.mesh is not None
+                       else data_stream.iter_batches(x, y, perm, n_batch))
             y = np.asarray(y[perm])  # labels only, for the metric tail
         else:
             x, y = data_loader.shuffle(x, y)
@@ -385,6 +458,7 @@ class Trainer:
             losses.append(loss)
             if "avg_iou" in aux:
                 ious.append(aux["avg_iou"])
+            self._throttle_mesh_queue(i_bch, loss)
             if progress is not None:
                 if (i_bch + 1) % self._POSTFIX_EVERY == 0 \
                         or i_bch + 1 == n_batch:
@@ -394,6 +468,7 @@ class Trainer:
         # one device-side reduction + one fetch per epoch: each fresh
         # scalar fetch over the tunnel costs a full RTT, so per-batch
         # float() lists would cost n_batch RTTs
+        self._drain_before_fanin((losses, ious, y_hat_parts))
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
         return self._epoch_metric(
@@ -427,8 +502,11 @@ class Trainer:
                     np.array_split(y, n_batch))
             )
         elif self.stream:
-            batches = data_stream.iter_batches(
-                x, y, np.arange(n), n_batch)
+            batches = (self._stream_mesh_batches(
+                           x, y, np.arange(n), n_batch)
+                       if self.mesh is not None
+                       else data_stream.iter_batches(
+                           x, y, np.arange(n), n_batch))
         else:
             x_split = [b.astype(np.float32)
                        for b in np.array_split(x, n_batch)]
@@ -436,7 +514,7 @@ class Trainer:
 
         losses, ious = [], []
         y_hat_parts = []
-        for x_bch, y_bch in batches:
+        for i_bch, (x_bch, y_bch) in enumerate(batches):
             x_bch, y_bch = self._place_batch(x_bch, y_bch)
             loss, aux, y_hat_bch = self.eval_step(
                 self.state, x_bch, y_bch)
@@ -444,6 +522,8 @@ class Trainer:
             losses.append(loss)
             if "avg_iou" in aux:
                 ious.append(aux["avg_iou"])
+            self._throttle_mesh_queue(i_bch, loss)
+        self._drain_before_fanin((losses, ious, y_hat_parts))
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         avg_iou = float(jnp.mean(jnp.stack(ious))) if ious else 0.0
         return self._epoch_metric(

@@ -208,6 +208,72 @@ def test_process_local_single_process_equals_iter_batches():
         assert ng == len(ay)
 
 
+def test_process_local_shard_rows_keeps_ragged_tail_full():
+    """With ``shard_rows`` set (the mesh 'data' axis), batches whose
+    global size is a multiple are sliced per process; ragged batches
+    arrive IN FULL on every process — they must be replicated, since a
+    concrete array cannot take an uneven leading-axis sharding."""
+    rng = np.random.RandomState(8)
+    n, n_batch, pc, shard = 36, 5, 4, 8  # split sizes: 8,7,7,7,7
+    x = rng.randn(n, 2, 2, 3).astype(np.float32)
+    y = rng.randint(0, 5, n).astype(np.int64)
+    perm = rng.permutation(n)
+
+    want = reference_batches(x, y, perm, n_batch)
+    assert [len(wy) for _, wy in want] == [8, 7, 7, 7, 7]
+    got = [list(stream.iter_batches_process_local(
+        x, y, perm, n_batch, process_index=pi, process_count=pc,
+        shard_rows=shard)) for pi in range(pc)]
+    for b, (wx, wy) in enumerate(want):
+        if len(wy) % shard == 0:  # sliced: concatenation reassembles
+            xs = np.concatenate([got[pi][b][0] for pi in range(pc)])
+            np.testing.assert_array_equal(xs, wx)
+            assert all(len(got[pi][b][1]) == len(wy) // pc
+                       for pi in range(pc))
+        else:  # ragged: every process already holds the full batch
+            for pi in range(pc):
+                np.testing.assert_array_equal(got[pi][b][0], wx)
+                np.testing.assert_array_equal(got[pi][b][1], wy)
+        for pi in range(pc):
+            assert got[pi][b][2] == len(wy)
+
+
+def test_stream_mesh_trajectory_matches_default(tmp_path):
+    """--stream x --mesh through train_and_evaluate: the process-local
+    assembly path produces the same loss trajectory as the default
+    HBM-resident path ON THE SAME MESH (same seed, synthetic data).
+
+    The control runs mesh="data=8" too: against a single-device run
+    only ~1e-2 agreement is possible (f32 grad-psum reduction order,
+    see test_mesh_cli) — holding the mesh fixed isolates exactly what
+    this test is about, the streaming assembly path."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (
+        train_and_evaluate,
+    )
+
+    def run(sub, **over):
+        np.random.seed(0)  # the driver shuffles via global np.random
+        md = str(tmp_path / sub)
+        os.makedirs(md, exist_ok=True)
+        p = Params(model="cnn", n_classes=43, dropout=0.0, seed=0,
+                   train_frac=1.0, recon=True, recon_coef=5e-4,
+                   routing_impl="xla", batch_size=8, n_epochs=2,
+                   eval_every=1, lr_decay=0.1, lr_runtime=1e-3,
+                   mesh="off", scan_epoch="off", summary=False)
+        for k, v in over.items():
+            setattr(p, k, v)
+        train_and_evaluate(p, str(tmp_path / "nodata"), md,
+                           no_metric=True, seed=0, progress=False)
+        return (np.load(os.path.join(md, "losses_tr.npy")),
+                np.load(os.path.join(md, "losses_ev.npy")))
+
+    tr0, ev0 = run("meshonly", mesh="data=8")
+    tr1, ev1 = run("streammesh", stream=True, mesh="data=8")
+    np.testing.assert_allclose(tr1, tr0, rtol=1e-6)
+    np.testing.assert_allclose(ev1, ev0, rtol=1e-6)
+
+
 def test_process_local_assembles_global_batch_on_mesh():
     """Single-process end-to-end: the local slice feeds
     global_batch_from_process_local and comes back batch-sharded over

@@ -132,6 +132,29 @@ def test_device_data_path_matches_host_path():
     assert traces[0] == traces[1]
 
 
+def test_host_path_mesh_epoch_survives_deep_queue():
+    """Regression: host batching (device_data=False) under --mesh.
+
+    Each batch is a host->sharded upload feeding an 8-partition step;
+    with ~64 of those queued plus the epoch-end jnp.stack fan-in,
+    jaxlib 0.9.0's in-process CPU collectives deadlocked their
+    rendezvous and SIGABRT'd the process (40 s timeout, one partition
+    never started).  Trainer._drain_before_fanin +
+    _throttle_mesh_queue bound the queue; this drives a full-width
+    epoch (64 batches) through the host path on the 8-device mesh and
+    pins the trajectory to the device-resident mesh path.
+    """
+    traces = []
+    for device_data in (True, False):
+        np.random.seed(11)
+        p = _params("cnn", batch_size=8, device_data=device_data,
+                    mesh="data=8")
+        losses, _ = _run_epochs(p, n_epochs=1, n=512)
+        traces.append(losses)
+    assert np.isfinite(traces[1]).all()
+    np.testing.assert_allclose(traces[1], traces[0], rtol=1e-6)
+
+
 def test_freeze_mask_keeps_moments_zero():
     """Frozen params must not move AND their Adam moments must stay
     exactly zero (the reference never hands frozen params to the
