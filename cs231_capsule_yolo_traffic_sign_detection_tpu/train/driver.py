@@ -600,6 +600,15 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
     async_ckpt = (ckpt.AsyncCheckpointer()
                   if params.get("async_ckpt", False) else None)
     save_ckpt = async_ckpt.save if async_ckpt else ckpt.save_checkpoint
+    # --ckpt_every N: save `last` every Nth epoch (and on the final
+    # epoch); `best` is still written the moment the eval metric
+    # improves, so best semantics are identical to the reference's
+    # per-epoch torch.save (main.py:181-188).  Default 1 = reference
+    # behavior.  Motivation: over a slow D2H link the per-epoch
+    # checkpoint dominates the detector epoch (10-17 s of a ~10.5 s
+    # epoch body, BASELINE.md epoch anatomy); the only cost of N>1 is
+    # that a crash loses up to N-1 epochs of `last` progress.
+    ckpt_every = max(1, int(params.get("ckpt_every", 1) or 1))
 
     try:
         for epoch in range(params.n_epochs):
@@ -627,11 +636,13 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
                 writer.add_scalar("eval_loss", loss_ev, epoch)
 
             is_best = metric_ev > best_metric_ev
-            save_ckpt(
-                trainer.state_dict(epoch + 1, plateau),
-                is_best=is_best,
-                checkpoint_dir=model_dir + str(params.train_frac),
-            )
+            if (is_best or (epoch + 1) % ckpt_every == 0
+                    or epoch + 1 == params.n_epochs):
+                save_ckpt(
+                    trainer.state_dict(epoch + 1, plateau),
+                    is_best=is_best,
+                    checkpoint_dir=model_dir + str(params.train_frac),
+                )
             if is_best:
                 best_metric_ev = metric_ev
             if loss_ev < best_loss_ev:

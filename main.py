@@ -86,6 +86,12 @@ parser.add_argument('--async_ckpt', default=False, action='store_true',
                          '(D2H + serialize + ~240MB write per epoch is '
                          '~3x the 448px detectors\' per-epoch compute; '
                          'same last/best semantics, flushed at exit)')
+parser.add_argument('--ckpt_every', default=1, type=int,
+                    help='save the last checkpoint every N epochs '
+                         '(best-on-improvement always saved; default 1 '
+                         '= reference behavior.  Over a slow D2H link '
+                         'the per-epoch checkpoint dominates detector '
+                         'epochs — see BASELINE.md epoch anatomy)')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '
@@ -123,6 +129,7 @@ def load_params(model_dir, args, with_writer=True):
     params.stream = args.stream
     params.remat = args.remat
     params.async_ckpt = args.async_ckpt
+    params.ckpt_every = args.ckpt_every
     # reference quirk: --summary's default makes it always true
     # (main.py:25); wired through regardless so the flag is honored
     params.summary = bool(args.summary)

@@ -2,6 +2,8 @@
 sanity check, SURVEY.md §4): each model drives its loss down on a tiny
 synthetic set through the full jitted train step."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -87,6 +89,35 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(trainer2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert raw["epoch"] == 1
+
+
+def test_ckpt_every_gates_last_saves(tmp_path, monkeypatch):
+    """--ckpt_every N: `last` written every Nth epoch and on the final
+    epoch; `best` still written the moment the metric improves (here:
+    epoch 1, the only is_best epoch under no_metric's constant -1)."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (
+        driver as drv,
+    )
+
+    calls = []
+    orig = drv.ckpt.save_checkpoint
+
+    def spy(state, is_best, checkpoint_dir):
+        calls.append((state["epoch"], is_best))
+        return orig(state, is_best=is_best, checkpoint_dir=checkpoint_dir)
+
+    monkeypatch.setattr(drv.ckpt, "save_checkpoint", spy)
+    np.random.seed(0)
+    p = _params("cnn", n_epochs=5, ckpt_every=3)
+    md = str(tmp_path / "m")
+    os.makedirs(md, exist_ok=True)
+    drv.train_and_evaluate(p, str(tmp_path / "nodata"), md,
+                           no_metric=True, seed=0, progress=False)
+    assert [e for e, _ in calls] == [1, 3, 5]
+    assert [b for _, b in calls] == [True, False, False]
+    d = md + str(p.train_frac)
+    assert os.path.exists(os.path.join(d, "last.ckpt"))
+    assert os.path.exists(os.path.join(d, "best.ckpt"))
 
 
 def test_plateau_semantics():
