@@ -95,15 +95,22 @@ def iter_batches(x, y, perm, n_batch, ring=3, n_threads=2, copy=True):
 
 def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
                                process_count=None, ring=3, n_threads=2,
-                               copy=True, shard_rows=None):
+                               copy=True, shard_rows=None, row_slices=None):
     """Multi-host streaming: this process's slice of each global batch.
 
-    Composes the prefetcher with the pod data layout (SURVEY.md §7.9,
-    parallel.mesh.process_batch_slice): the global batch b is
-    perm[off[b]:off[b+1]]; each process gathers only its contiguous
-    within-batch row range, and the sharded global array is assembled
-    collective-free with parallel.mesh.global_batch_from_process_local.
+    Composes the prefetcher with the pod data layout (SURVEY.md §7.9):
+    the global batch b is perm[off[b]:off[b+1]]; each process gathers
+    only the within-batch rows its devices address, and the sharded
+    global array is assembled collective-free with
+    parallel.mesh.global_batch_from_process_local.
     Yields (x_local_f32, y_local, n_global_rows).
+
+    ``row_slices`` maps a global batch size to this process's list of
+    (lo, hi) within-batch row slices (parallel.mesh.process_row_slices,
+    derived from the sharding's addressable-device index map — correct
+    for replication layouts and uneven process counts).  Without it the
+    rows default to an equal contiguous per-process split
+    (parallel.mesh.process_batch_slice).
 
     ``shard_rows`` (typically the mesh's 'data' axis size): a concrete
     jax.Array cannot take an uneven leading-axis sharding, so a batch
@@ -122,12 +129,17 @@ def iter_batches_process_local(x, y, perm, n_batch, process_index=None,
     for lo, hi in zip(offsets[:-1], offsets[1:]):
         n_glob = int(hi - lo)
         if shard_rows is not None and n_glob % int(shard_rows) != 0:
-            s, e = 0, n_glob  # ragged tail: full rows everywhere
+            parts = [(0, n_glob)]  # ragged tail: full rows everywhere
+        elif row_slices is not None:
+            parts = [(int(s), int(e)) for s, e in row_slices(n_glob)]
         else:
-            s, e = process_batch_slice(
-                n_glob, process_index, process_count)
-        sub.append(perm[lo + s: lo + e])
-        sub_off.append(sub_off[-1] + (e - s))
+            parts = [process_batch_slice(n_glob, process_index,
+                                         process_count)]
+        n_loc = 0
+        for s, e in parts:
+            sub.append(perm[lo + s: lo + e])
+            n_loc += e - s
+        sub_off.append(sub_off[-1] + n_loc)
         globals_.append(n_glob)
     sub_perm = (np.concatenate(sub) if sub
                 else np.zeros(0, np.int64)).astype(np.int64)

@@ -27,6 +27,15 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Batches between dispatch-queue drains on the CPU-backend mesh paths
+# (train epoch loop and predict's batched forward).  jaxlib 0.9.0's
+# in-process CPU collectives intermittently trip their 40 s rendezvous
+# timeout when deep queues of multi-partition programs pile up on an
+# oversubscribed host; draining every few batches keeps the queue
+# shallow.  One tuning constant shared by every consumer — see
+# train/driver.py:Trainer._throttle_mesh_queue for the full analysis.
+CPU_MESH_QUEUE = 8
+
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
@@ -68,21 +77,69 @@ def process_batch_slice(n_global: int, process_index=None, process_count=None):
     return lo, hi
 
 
+def _distinct_row_slices(index_map, n_global: int):
+    """Distinct leading-axis slices of an addressable-device index map.
+
+    `index_map` is `sharding.addressable_devices_indices_map(shape)`:
+    device -> tuple of per-dim slices.  Replica devices (e.g. the
+    'model' axis) share a slice and are deduplicated; the result is
+    sorted by start, which is the order
+    `jax.make_array_from_process_local_data` packs each distinct
+    addressable slice into the process-local array.
+    """
+    uniq = {}
+    for idx in index_map.values():
+        s = idx[0]
+        lo = 0 if s.start is None else int(s.start)
+        hi = n_global if s.stop is None else int(s.stop)
+        uniq[(lo, hi)] = None
+    return sorted(uniq)
+
+
+def process_row_slices(n_global: int, mesh: Mesh):
+    """Global-row slices this process must load for `batch_sharding(mesh)`.
+
+    Derived from the sharding's own addressable-device index map, so it
+    is correct for any device/process layout — unlike an equal
+    per-process split (`process_batch_slice`), which breaks whenever
+    the layout isn't "each process owns one equal contiguous chunk":
+    process count not dividing the batch in data-axis proportions,
+    model-axis replication spanning processes (two processes holding
+    the same rows), or data=1 meshes where EVERY process needs all
+    rows.  The process-local batch is the concatenation of these
+    slices, in order — exactly what
+    `jax.make_array_from_process_local_data` expects.
+    """
+    sh = batch_sharding(mesh)
+    return _distinct_row_slices(
+        sh.addressable_devices_indices_map((n_global,)), n_global)
+
+
 def global_batch_from_process_local(local_batch, mesh: Mesh, n_global=None):
     """Assemble a globally batch-sharded array from per-process rows.
 
-    `local_batch` holds only this process's rows (see
-    `process_batch_slice`).  Uses `jax.make_array_from_process_local_data`,
+    `local_batch` holds only this process's rows (the concatenation of
+    `process_row_slices`).  Uses `jax.make_array_from_process_local_data`,
     which places each host's rows on its own addressable devices of the
     'data' axis — the idiomatic multi-host input path (no host ever
     materializes the global batch).  Single-process: equivalent to
     `shard_batch`.
+
+    Pass `n_global` whenever the local rows may differ from the global
+    batch (multi-host): it pins the global shape explicitly, covering
+    replication layouts where shape inference from local data would
+    guess wrong (e.g. every process holding all rows under data=1).
     """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
-        local_batch,
-    )
+
+    def make(a):
+        a = np.asarray(a)
+        gs = None if n_global is None else (int(n_global),) + a.shape[1:]
+        if gs is not None and jax.process_count() == 1:
+            gs = None  # single-process: jax requires local == global
+        return jax.make_array_from_process_local_data(sh, a, gs)
+
+    return jax.tree_util.tree_map(make, local_batch)
 
 
 def parse_mesh_spec(spec, n_local: Optional[int] = None):

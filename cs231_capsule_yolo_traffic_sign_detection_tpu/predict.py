@@ -75,7 +75,7 @@ def _batched_forward(step, variables, x, batch_size, mesh=None):
         if mesh is not None:
             xb = par.place_batch(jnp.asarray(xb), mesh)
         outs.append(step(variables, xb))
-        if cpu_mesh and len(outs) % 8 == 0:
+        if cpu_mesh and len(outs) % par.CPU_MESH_QUEUE == 0:
             # bound the queue: jaxlib 0.9.0's in-process CPU
             # collectives intermittently trip their rendezvous timeout
             # under deep multi-partition queues (see

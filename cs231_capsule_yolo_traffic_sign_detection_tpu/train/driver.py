@@ -240,17 +240,18 @@ class Trainer:
 
         n_data = self.mesh.shape["data"]
         for xb, yb, n_glob in data_stream.iter_batches_process_local(
-                x, y, perm, n_batch, shard_rows=n_data):
+                x, y, perm, n_batch, shard_rows=n_data,
+                row_slices=lambda n: par.process_row_slices(n, self.mesh)):
             if n_glob % n_data == 0:
                 yield par.global_batch_from_process_local(
-                    (xb, yb), self.mesh)
+                    (xb, yb), self.mesh, n_global=n_glob)
             else:
                 yield par.place_batch(
                     (jnp.asarray(xb), jnp.asarray(yb)), self.mesh)
 
     # Batches between queue drains on the CPU-backend mesh path (see
-    # _throttle_mesh_queue).
-    _CPU_MESH_QUEUE = 8
+    # _throttle_mesh_queue); shared with predict's batched forward.
+    _CPU_MESH_QUEUE = par.CPU_MESH_QUEUE
 
     def _drain_before_fanin(self, parts):
         """Drain the dispatch queue before an epoch-end fan-in (mesh).

@@ -37,6 +37,71 @@ def test_process_batch_slice_sizes_balanced():
         assert max(sizes) - min(sizes) <= 1
 
 
+def test_distinct_row_slices_dedups_replicas_and_sorts():
+    """Per-process row slices come from the sharding's index map:
+    model-axis replicas share a slice (dedup), slices sort by start,
+    and a data=1 layout (full replication) yields the whole range."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.parallel.mesh import (
+        _distinct_row_slices,
+    )
+
+    # two local devices = model replicas of the same data shard
+    assert _distinct_row_slices(
+        {"d0": (slice(0, 3),), "d1": (slice(0, 3),)}, 6) == [(0, 3)]
+    # two data shards owned out of device order -> sorted by start
+    assert _distinct_row_slices(
+        {"d0": (slice(4, 8),), "d1": (slice(0, 4),)}, 8) == [(0, 4), (4, 8)]
+    # data=1: every device addresses all rows (slice(None))
+    assert _distinct_row_slices({"d0": (slice(None),)}, 6) == [(0, 6)]
+
+
+def test_process_row_slices_vs_equal_split():
+    """The pod layouts the equal per-process split gets wrong
+    (VERDICT r2 review finding): 4 single-device processes on
+    data=2,model=2 need 3/3/3/3 rows of a 6-row batch (two processes
+    per replica pair), not process_batch_slice's 2/2/1/1; data=1
+    multi-process needs ALL rows everywhere, not a split."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.parallel.mesh import (
+        _distinct_row_slices,
+    )
+
+    # process 1 of 4 owns device (data=0, model=1): rows [0,3)
+    assert _distinct_row_slices({"p1d": (slice(0, 3),)}, 6) == [(0, 3)]
+    assert par.process_batch_slice(6, 1, 4) != (0, 3)  # the old bug
+    # data=1, model=4: each process's device addresses every row
+    assert _distinct_row_slices({"pXd": (slice(None),)}, 6) == [(0, 6)]
+    assert par.process_batch_slice(6, 2, 4) != (0, 6)
+
+
+def test_process_row_slices_single_process_covers_batch():
+    """Single process: the slices are the mesh's data shards in order,
+    covering [0, n) exactly — so the streamed local batch equals the
+    global batch and the path stays byte-identical to non-streaming."""
+    mesh = par.make_mesh(n_data=4, n_model=2)
+    slices = par.process_row_slices(16, mesh)
+    assert slices == [(0, 4), (4, 8), (8, 12), (12, 16)]
+
+
+def test_iter_batches_row_slices_gathers_union(tmp_path):
+    """The streaming iterator gathers exactly the concatenation of the
+    row_slices ranges of each global batch."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.data import stream
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 3).astype(np.float32)
+    y = np.arange(8, dtype=np.int64)
+    perm = np.asarray([3, 1, 7, 5, 0, 2, 6, 4])
+    out = list(stream.iter_batches_process_local(
+        x, y, perm, n_batch=1, shard_rows=2,
+        row_slices=lambda n: [(0, 2), (6, 8)]))
+    assert len(out) == 1
+    xb, yb, n_glob = out[0]
+    assert n_glob == 8
+    want = perm[[0, 1, 6, 7]]
+    np.testing.assert_array_equal(yb, y[want])
+    np.testing.assert_allclose(xb, x[want], atol=1e-6)
+
+
 def test_global_batch_from_process_local_single_process():
     mesh = par.make_mesh(n_data=8, n_model=1)
     rng = np.random.RandomState(0)
