@@ -582,10 +582,13 @@ def _export_adam_state(state, model_name, torch_sd, lr=1e-3):
         if m is None:  # unused-decoder params: zero moments
             m = np.zeros_like(torch_sd[key], dtype=np.float32)
             v = np.zeros_like(torch_sd[key], dtype=np.float32)
+        # np.array (not ascontiguousarray): jax buffers arrive as
+        # read-only views, and torch.from_numpy on one is UB if the
+        # tensor is ever written — copy into writable memory.
         opt_state[i] = {
             "step": torch.tensor(float(count)),
-            "exp_avg": torch.from_numpy(np.ascontiguousarray(m)),
-            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(v)),
+            "exp_avg": torch.from_numpy(np.array(m, dtype=np.float32)),
+            "exp_avg_sq": torch.from_numpy(np.array(v, dtype=np.float32)),
         }
     return {
         "state": opt_state,
