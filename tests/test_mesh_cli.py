@@ -101,6 +101,42 @@ def test_cli_mesh_model_axis_shards_routing(tmp_path):
     assert losses.shape == (1,) and np.isfinite(losses).all()
 
 
+def test_cli_mesh_composes_with_bf16(model_dirs, tmp_path):
+    """--mesh data=8 x --dtype bfloat16: the pod user's flag pair.
+    bf16 step numerics vs f32 are banded in test_bf16_training.py; here
+    the composition must execute through the CLI and still learn."""
+    _, mesh_dir = model_dirs
+    r = _run(["--model", "cnn", "--mode", "train", "--no_metric",
+              "--model_dir", mesh_dir, "--mesh", "data=8",
+              "--dtype", "bfloat16"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[mesh] data=8 model=1" in r.stdout, r.stdout[-2000:]
+    losses = np.load(os.path.join(mesh_dir, "losses_tr.npy"))
+    assert losses.shape == (3,) and np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_cli_mesh_composes_with_remat(tmp_path):
+    """--mesh data=8 x --remat on a detector (remat's target model
+    family; gradient bit-equality vs plain is pinned in test_remat.py).
+    224px/g=7 keeps the CPU cost testable — same stride-32 relation as
+    the reference's 448/14 (reference config.py:40-41)."""
+    d = tmp_path / "dr_remat"
+    d.mkdir()
+    (d / "params.json").write_text(json.dumps({
+        "batch_size": 8, "n_classes": 43, "lr": 1e-4, "n_epochs": 1,
+        "dropout": 0.0, "lr_decay": 0.1, "l_coord": 5, "l_noobj": 0.5,
+        "n_boxes": 1, "darknet_input": 224, "n_grid": 7,
+    }))
+    r = _run(["--model", "darknet_r", "--mode", "train", "--no_metric",
+              "--train_frac", "0.05", "--model_dir", str(d),
+              "--mesh", "data=8", "--remat"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[mesh] data=8 model=1" in r.stdout, r.stdout[-2000:]
+    losses = np.load(os.path.join(str(d), "losses_tr.npy"))
+    assert losses.shape == (1,) and np.isfinite(losses).all()
+
+
 def test_cli_mesh_auto_engages_on_multidevice(model_dirs, tmp_path):
     """Default --mesh auto picks up all local devices."""
     _, mesh_dir = model_dirs
