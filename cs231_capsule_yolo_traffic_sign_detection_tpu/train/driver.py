@@ -182,9 +182,17 @@ class Trainer:
         # 4.5x per-epoch wall on the chip with an identical loss
         # trajectory (BASELINE.md), off elsewhere (CPU epochs are
         # compile-dominated at test sizes).
-        self.scan_epoch = (self._resolve_scan(params.get("scan_epoch",
-                                                         False))
+        scan_setting = params.get("scan_epoch", False)
+        self.scan_epoch = (self._resolve_scan(scan_setting)
                            and self.device_data)
+        if (not self.scan_epoch and self.stream
+                and str(scan_setting).lower() in ("on", "true", "1")):
+            # explicit --scan_epoch on with --stream: scan gathers from
+            # the HBM-resident dataset, which --stream's whole point is
+            # not to have — say so instead of silently ignoring the ask
+            # ('auto' falls back silently by design).
+            print("[scan_epoch] ignored: --stream keeps the dataset "
+                  "host-resident, the per-batch streamed loop runs")
 
     @staticmethod
     def _resolve_scan(setting):

@@ -181,3 +181,18 @@ def test_resolve_scan_setting():
     assert Trainer._resolve_scan("off") is False
     assert Trainer._resolve_scan(True) is True
     assert Trainer._resolve_scan(False) is False
+
+
+def test_explicit_scan_with_stream_warns_and_streams(capsys):
+    """--scan_epoch on x --stream: scan gathers from the HBM-resident
+    dataset --stream exists to avoid, so the streamed per-batch loop
+    runs and an explicit 'on' says so (auto falls back silently)."""
+    p = _params("cnn", 8, "on", stream=True)
+    t = Trainer(p, seed=0, verbose=False)
+    assert t.scan_epoch is False and t.stream is True
+    assert "[scan_epoch] ignored" in capsys.readouterr().out
+
+    p2 = _params("cnn", 8, "auto", stream=True)
+    t2 = Trainer(p2, seed=0, verbose=False)
+    assert t2.scan_epoch is False
+    assert "[scan_epoch]" not in capsys.readouterr().out
