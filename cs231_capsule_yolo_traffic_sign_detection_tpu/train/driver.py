@@ -186,7 +186,8 @@ class Trainer:
         self.scan_epoch = (self._resolve_scan(scan_setting)
                            and self.device_data)
         if (not self.scan_epoch and self.stream
-                and str(scan_setting).lower() in ("on", "true", "1")):
+                and self._resolve_scan(scan_setting)
+                and str(scan_setting).lower() != "auto"):
             # explicit --scan_epoch on with --stream: scan gathers from
             # the HBM-resident dataset, which --stream's whole point is
             # not to have — say so instead of silently ignoring the ask
@@ -232,8 +233,11 @@ class Trainer:
     def _stream_mesh_batches(self, x, y, perm, n_batch):
         """--stream x --mesh: the multi-host input path (SURVEY.md §7.9).
 
-        Each process's prefetcher gathers only its contiguous row range
-        of every global batch; the batch-sharded global array is then
+        Each process's prefetcher gathers only the rows its devices
+        address in every global batch — the slices come from the batch
+        sharding's own index map (par.process_row_slices: possibly
+        several slices, identical rows on replica processes, ALL rows
+        under data=1) — and the batch-sharded global array is then
         assembled collective-free from the addressable rows
         (jax.make_array_from_process_local_data) — no host ever
         materializes a batch it doesn't own.  Ragged tails (global rows
@@ -247,9 +251,16 @@ class Trainer:
         import jax.numpy as jnp
 
         n_data = self.mesh.shape["data"]
+        memo = {}  # an epoch has <=2 distinct global batch sizes
+
+        def row_slices(n):
+            if n not in memo:
+                memo[n] = par.process_row_slices(n, self.mesh)
+            return memo[n]
+
         for xb, yb, n_glob in data_stream.iter_batches_process_local(
                 x, y, perm, n_batch, shard_rows=n_data,
-                row_slices=lambda n: par.process_row_slices(n, self.mesh)):
+                row_slices=row_slices):
             if n_glob % n_data == 0:
                 yield par.global_batch_from_process_local(
                     (xb, yb), self.mesh, n_global=n_glob)
