@@ -5,9 +5,9 @@ Reference parity: capsule_interpret.py:54-68 — writes img/orig.png and
 img/{dim}-{step}.png reconstruction sweeps.
 """
 
+import argparse
 import os
 import pickle
-import sys
 
 import numpy as np
 import jax
@@ -76,5 +76,14 @@ def main(sample_index=90, model_dir=None, restore_file="best"):
 
 
 if __name__ == "__main__":
-    idx = int(sys.argv[1]) if len(sys.argv) > 1 else 90
-    main(idx)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sample_index", nargs="?", type=int, default=90,
+                    help="eval-set sample to perturb (default 90, "
+                         "like the reference)")
+    ap.add_argument("--model_dir", default=None,
+                    help="experiment dir with params.json + checkpoint "
+                         "(default ./experiments/capsule)")
+    ap.add_argument("--restore", default="best", choices=["best", "last"],
+                    help="which checkpoint to restore (default best)")
+    a = ap.parse_args()
+    main(a.sample_index, model_dir=a.model_dir, restore_file=a.restore)
