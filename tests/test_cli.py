@@ -39,6 +39,28 @@ def tiny_model_dir(tmp_path):
     return str(d)
 
 
+def test_load_params_plumbs_cli_flags(tiny_model_dir):
+    """Every CLI flag that load_params forwards lands on the Params
+    object (in-process; the subprocess tests cover end-to-end use).
+    Includes the reference quirks: --recon_coef arrives as str and is
+    coerced (COMPAT.md #2), the optimizer lr comes from --lr only."""
+    import main as cli_main
+
+    args = cli_main.parser.parse_args([
+        "--model", "cnn", "--mode", "train", "--recon_coef", "7e-4",
+        "--lr", "3e-3", "--ckpt_every", "4", "--mesh", "off",
+        "--dtype", "bfloat16", "--scan_epoch", "off", "--stream",
+        "--remat", "--async_ckpt", "--routing", "xla",
+    ])
+    p = cli_main.load_params(tiny_model_dir, args, with_writer=False)
+    assert p.recon_coef == 7e-4 and isinstance(p.recon_coef, float)
+    assert p.lr_runtime == 3e-3
+    assert p.ckpt_every == 4
+    assert p.mesh == "off" and p.compute_dtype == "bfloat16"
+    assert p.scan_epoch == "off" and p.stream and p.remat
+    assert p.async_ckpt and p.routing_impl == "xla"
+
+
 def test_cli_train_and_restore(tiny_model_dir, tmp_path):
     cwd = str(tmp_path)
     r = _run(["--model", "cnn", "--mode", "train", "--no_metric",
