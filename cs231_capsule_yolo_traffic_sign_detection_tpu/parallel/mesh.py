@@ -131,11 +131,14 @@ def global_batch_from_process_local(local_batch, mesh: Mesh, n_global=None):
     guess wrong (e.g. every process holding all rows under data=1).
     """
     sh = batch_sharding(mesh)
+    # run-invariant; hoisted out of make() so the per-batch hot path
+    # doesn't re-query the runtime for every tree leaf of every batch
+    single_process = jax.process_count() == 1
 
     def make(a):
         a = np.asarray(a)
         gs = None if n_global is None else (int(n_global),) + a.shape[1:]
-        if gs is not None and jax.process_count() == 1:
+        if gs is not None and single_process:
             gs = None  # single-process: jax requires local == global
         return jax.make_array_from_process_local_data(sh, a, gs)
 

@@ -81,11 +81,13 @@ def _batched_forward(step, variables, x, batch_size, mesh=None):
             # under deep multi-partition queues (see
             # Trainer._throttle_mesh_queue)
             jax.block_until_ready(outs[-1])
-    if mesh is not None:
+    if cpu_mesh:
         # drain before the wide fan-in: a many-ary concat dispatched
         # onto a deep queue of multi-partition programs can deadlock
         # jaxlib 0.9.0's CPU collective rendezvous (see
-        # Trainer._drain_before_fanin)
+        # Trainer._drain_before_fanin).  CPU backend only — on a real
+        # TPU mesh the deadlock does not exist and the extra host sync
+        # would forfeit dispatch/concat overlap.
         jax.block_until_ready(outs)
     return jnp.concatenate(outs, axis=0)
 

@@ -191,9 +191,12 @@ class Trainer:
             # explicit --scan_epoch on with --stream: scan gathers from
             # the HBM-resident dataset, which --stream's whole point is
             # not to have — say so instead of silently ignoring the ask
-            # ('auto' falls back silently by design).
-            print("[scan_epoch] ignored: --stream keeps the dataset "
-                  "host-resident, the per-batch streamed loop runs")
+            # ('auto' falls back silently by design).  Gated on verbose
+            # like every other driver diagnostic (programmatic
+            # verbose=False runs stay silent).
+            if verbose:
+                print("[scan_epoch] ignored: --stream keeps the dataset "
+                      "host-resident, the per-batch streamed loop runs")
 
     @staticmethod
     def _resolve_scan(setting):
@@ -283,11 +286,13 @@ class Trainer:
         the process aborts (reproduced deterministically with >=64
         queued 8-partition train steps + a 64-ary jnp.stack; 64 steps
         alone or a pre-drained stack complete fine).  Single-device
-        queues are immune, so this costs nothing without a mesh; with
-        one it is a single host sync per epoch, immediately before the
-        float() fetch that syncs anyway.
+        queues are immune, so this costs nothing without a mesh; the
+        deadlock is specific to the CPU runtime's in-process
+        collectives, so real TPU meshes skip the sync too (it would
+        trade the epoch-end overlap for nothing — the float() fetch
+        right after syncs anyway).
         """
-        if self.mesh is not None:
+        if self.mesh is not None and jax.default_backend() == "cpu":
             jax.block_until_ready(parts)
 
     def _throttle_mesh_queue(self, i_bch, ref):
@@ -427,6 +432,11 @@ class Trainer:
                 avg_loss, avg_iou, y_hat_dev, y[perm], metric_on,
                 "train")
 
+        # _stream_mesh_batches yields batches ALREADY placed with the
+        # exact shardings _place_batch would choose; re-placing them
+        # would be a semantic identity paying per-batch dispatch
+        # overhead on the hot loop.
+        pre_placed = False
         if self.device_data:
             # device-resident images: shuffle = permuted index gather on
             # device (same np.random.permutation consumption as the host
@@ -453,6 +463,7 @@ class Trainer:
             batches = (self._stream_mesh_batches(x, y, perm, n_batch)
                        if self.mesh is not None
                        else data_stream.iter_batches(x, y, perm, n_batch))
+            pre_placed = self.mesh is not None
             y = np.asarray(y[perm])  # labels only, for the metric tail
         else:
             x, y = data_loader.shuffle(x, y)
@@ -471,7 +482,8 @@ class Trainer:
         losses, ious = [], []
         y_hat_parts = []
         for i_bch, (x_bch, y_bch) in enumerate(batches):
-            x_bch, y_bch = self._place_batch(x_bch, y_bch)
+            if not pre_placed:
+                x_bch, y_bch = self._place_batch(x_bch, y_bch)
             self.state, loss, aux, y_hat_bch = self.train_step(
                 self.state, x_bch, y_bch, lr)
             y_hat_parts.append(y_hat_bch)
@@ -509,6 +521,7 @@ class Trainer:
             return self._epoch_metric(
                 avg_loss, avg_iou, y_hat_dev, y, metric_on, "eval")
 
+        pre_placed = False  # see train_epoch: stream x mesh pre-places
         if self.device_data:
             x_dev = self._device_dataset("eval", x)
             bounds = np.cumsum([len(b) for b in
@@ -527,6 +540,7 @@ class Trainer:
                        if self.mesh is not None
                        else data_stream.iter_batches(
                            x, y, np.arange(n), n_batch))
+            pre_placed = self.mesh is not None
         else:
             x_split = [b.astype(np.float32)
                        for b in np.array_split(x, n_batch)]
@@ -535,7 +549,8 @@ class Trainer:
         losses, ious = [], []
         y_hat_parts = []
         for i_bch, (x_bch, y_bch) in enumerate(batches):
-            x_bch, y_bch = self._place_batch(x_bch, y_bch)
+            if not pre_placed:
+                x_bch, y_bch = self._place_batch(x_bch, y_bch)
             loss, aux, y_hat_bch = self.eval_step(
                 self.state, x_bch, y_bch)
             y_hat_parts.append(y_hat_bch)
