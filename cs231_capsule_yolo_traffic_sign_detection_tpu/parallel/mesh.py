@@ -59,6 +59,34 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     )
 
 
+def is_primary() -> bool:
+    """True on the artifact-writing process (process_index 0).
+
+    Multi-host runs execute `train_and_evaluate` once per process with
+    an identical trajectory (same seeds, same global arrays); exactly
+    one process writes checkpoints / loss histories / TB scalars so
+    shared filesystems see no concurrent-writer races.  Single-process:
+    always True.
+    """
+    return jax.process_index() == 0
+
+
+def gather_replicated(x, mesh: Mesh):
+    """All-gather a mesh-sharded array so every process can read it.
+
+    Host-side consumers (`np.asarray` for metrics) need a fully
+    addressable array; under process_count > 1 a batch-sharded output
+    has shards on other hosts.  A jitted identity with a replicated
+    out-sharding makes XLA insert the all-gather (over ICI on a real
+    pod).  No-op single-process or without a mesh, so the common paths
+    never pay a dispatch.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return x
+    repl = NamedSharding(mesh, P())
+    return jax.jit(lambda a: a, out_shardings=repl)(x)
+
+
 def process_batch_slice(n_global: int, process_index=None, process_count=None):
     """Row range [lo, hi) of the global batch owned by this process.
 

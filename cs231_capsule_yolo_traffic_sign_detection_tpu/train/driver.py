@@ -402,7 +402,11 @@ class Trainer:
         n = y.shape[0]
         metric_score = -1
         if metric_on:
-            y_hat = np.asarray(y_hat_dev)
+            # multi-host: epoch outputs are batch-sharded across
+            # processes; all-gather so the host-side metric can read
+            # them (no-op single-process / without a mesh)
+            y_hat = np.asarray(
+                par.gather_replicated(y_hat_dev, self.mesh))
             yy = y
             if n > config.max_metric_samples:
                 i = np.random.choice(n, config.max_metric_samples).astype(int)
@@ -594,8 +598,12 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
                        restore_file=None, writer=None, no_metric=False,
                        seed=0, progress=True):
     """Full training run.  Reference parity: main.py:146-217."""
+    # Multi-host: every process runs the identical trajectory (same
+    # seeds and global arrays — the compiled steps are global-semantics
+    # programs); exactly one writes artifacts.  Single-process: True.
+    primary = par.is_primary()
     trainer = Trainer(params, seed=seed,
-                      verbose=bool(params.get("summary", True)))
+                      verbose=bool(params.get("summary", True)) and primary)
     plateau = ReduceLROnPlateau(
         lr=params.lr_runtime, factor=params.lr_decay)
 
@@ -651,7 +659,7 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
             metric_on = if_eval and not no_metric
 
             bar = None
-            if progress:
+            if progress and primary:
                 from tqdm import trange
                 n_batch = ((len(y_tr) + params.batch_size - 1)
                            // params.batch_size)
@@ -671,8 +679,8 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
                 writer.add_scalar("eval_loss", loss_ev, epoch)
 
             is_best = metric_ev > best_metric_ev
-            if (is_best or (epoch + 1) % ckpt_every == 0
-                    or epoch + 1 == params.n_epochs):
+            if primary and (is_best or (epoch + 1) % ckpt_every == 0
+                            or epoch + 1 == params.n_epochs):
                 save_ckpt(
                     trainer.state_dict(epoch + 1, plateau),
                     is_best=is_best,
@@ -687,22 +695,26 @@ def train_and_evaluate(params, data_dir, model_dir, is_small=False,
                 if writer is not None:
                     writer.add_scalar("train_metric", metric_tr, epoch)
                     writer.add_scalar("eval_metric", metric_ev, epoch)
-                print(
-                    "epoch {} | train loss: {:05.3f} | eval loss: {:05.3f} |"
-                    " best eval loss: {:05.3f} | "
-                    "train metric: {:05.3f} | eval metric: {:05.3f} | "
-                    "best eval metric {:05.3f}".format(
-                        epoch + 1, loss_tr, loss_ev, best_loss_ev,
-                        metric_tr, metric_ev, best_metric_ev))
+                if primary:
+                    print(
+                        "epoch {} | train loss: {:05.3f} | "
+                        "eval loss: {:05.3f} |"
+                        " best eval loss: {:05.3f} | "
+                        "train metric: {:05.3f} | eval metric: {:05.3f} | "
+                        "best eval metric {:05.3f}".format(
+                            epoch + 1, loss_tr, loss_ev, best_loss_ev,
+                            metric_tr, metric_ev, best_metric_ev))
                 metrics_tr.append(metric_tr)
                 metrics_ev.append(metric_ev)
-                np.save(os.path.join(model_dir, "metrics_tr"), metrics_tr)
-                np.save(os.path.join(model_dir, "metrics_ev"), metrics_ev)
+                if primary:
+                    np.save(os.path.join(model_dir, "metrics_tr"), metrics_tr)
+                    np.save(os.path.join(model_dir, "metrics_ev"), metrics_ev)
 
             losses_tr.append(loss_tr)
             losses_ev.append(loss_ev)
-            np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
-            np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
+            if primary:
+                np.save(os.path.join(model_dir, "losses_tr"), losses_tr)
+                np.save(os.path.join(model_dir, "losses_ev"), losses_ev)
     finally:
         if async_ckpt is not None:
             # every enqueued save is on disk past here; worker joined

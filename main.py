@@ -92,6 +92,16 @@ parser.add_argument('--ckpt_every', default=1, type=int,
                          '= reference behavior.  Over a slow D2H link '
                          'the per-epoch checkpoint dominates detector '
                          'epochs — see BASELINE.md epoch anatomy)')
+parser.add_argument('--coordinator', default=None,
+                    help='multi-host: coordinator address host:port '
+                         '(jax.distributed). Launch one main.py per host '
+                         'with the same --coordinator/--num_processes and '
+                         'a distinct --process_id; --mesh then spans all '
+                         "hosts' devices and process 0 writes artifacts")
+parser.add_argument('--num_processes', default=None, type=int,
+                    help='multi-host: total process count (with --coordinator)')
+parser.add_argument('--process_id', default=None, type=int,
+                    help='multi-host: this process\'s id (with --coordinator)')
 parser.add_argument('--stream', default=False, action='store_true',
                     help='host-streaming data path for larger-than-HBM '
                          'datasets: batches assembled ahead of the device by '
@@ -161,12 +171,33 @@ def _enable_compile_cache():
 
 def main():
     args = parser.parse_args()
+    if args.coordinator is not None or args.num_processes is not None:
+        # Multi-host entry (new infrastructure; the reference is
+        # single-process, main.py:231).  Must run before the first jax
+        # array op so the backend initializes with the full device set.
+        from cs231_capsule_yolo_traffic_sign_detection_tpu import (
+            parallel as par,
+        )
+        par.initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        import jax
+        print("[distributed] process {}/{} sees {} devices "
+              "({} local)".format(
+                  jax.process_index(), jax.process_count(),
+                  len(jax.devices()), len(jax.local_devices())))
     _enable_compile_cache()
     data_dir, model_dir = get_data_and_model_dir(args.model)
     if args.model_dir is not None:
         model_dir = args.model_dir
 
-    params = load_params(model_dir, args, with_writer=args.mode != 'predict')
+    # artifact writers live on process 0 only (multi-host; no-op change
+    # single-process where is_primary() is always True)
+    from cs231_capsule_yolo_traffic_sign_detection_tpu import parallel as par
+    with_writer = args.mode != 'predict' and par.is_primary()
+    params = load_params(model_dir, args, with_writer=with_writer)
 
     np.random.seed(args.seed)
 

@@ -17,6 +17,11 @@ import sys
 import numpy as np
 import pytest
 
+# Full-matrix CLI trainings (subprocess, several minutes each on the
+# 1-core box) — nightly tier.  Smoke-tier mesh coverage lives in
+# test_parallel.py (step-level) and test_cli.py (CLI surface).
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -1,0 +1,145 @@
+"""REAL multi-process training (VERDICT r2 item 1).
+
+Round 1/2 validated the multi-host helpers with faked process indices;
+these tests spawn 2 actual processes (jax.distributed.initialize over a
+localhost coordinator, 4 virtual CPU devices each = one 8-device global
+mesh with gloo cross-process collectives) and drive the product surface
+itself: `main.py --mode train --mesh data=8 [--stream]` with
+`--coordinator/--num_processes/--process_id`.  Asserts:
+
+  * the run completes and process 0 alone writes artifacts;
+  * the loss trajectory matches a single-process 8-device run (the
+    compiled step is sharding-agnostic; only f32 reduction order may
+    differ);
+  * under --stream each process's prefetcher loads only its own rows
+    (process_row_slices on the real 2-process mesh).
+
+Replaces the reference's single-device placement (reference
+main.py:231).  Slow: three tiny-cnn trainings, two of them concurrent
+on a 1-core box.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow
+
+# jaxlib 0.9.0's CPU gloo context init + collectives default to a 30 s
+# timeout; two processes compiling real train steps on one core skew
+# past it (measured), so the multi-process runs raise it.
+_XLA_MP = ("--xla_force_host_platform_device_count=4 "
+           "--xla_cpu_collective_timeout_seconds=600")
+
+
+def _wrapper(cli_args, extra_py=""):
+    return (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "sys.argv = ['main.py'] + %r;"
+        "import main; main.main();"
+        "%s" % (REPO, cli_args, extra_py)
+    )
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _params_dir(tmp_path, tag):
+    d = tmp_path / tag
+    d.mkdir()
+    (d / "params.json").write_text(json.dumps({
+        "batch_size": 8, "n_classes": 43, "lr": 1e-3,
+        "n_epochs": 3, "dropout": 0.0, "lr_decay": 0.1,
+    }))
+    return str(d)
+
+
+def _launch_pair(model_dir, cwd, stream=False):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        args = ["--model", "cnn", "--mode", "train", "--no_metric",
+                "--model_dir", model_dir, "--mesh", "data=8",
+                "--coordinator", "127.0.0.1:%d" % port,
+                "--num_processes", "2", "--process_id", str(pid)]
+        if stream:
+            args.append("--stream")
+        extra = (
+            "from cs231_capsule_yolo_traffic_sign_detection_tpu "
+            "import parallel as par;"
+            "mesh = par.make_mesh(n_data=8, n_model=1);"
+            "print('[rows]', par.process_row_slices(8, mesh))"
+        )
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = _XLA_MP
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _wrapper(args, extra)],
+            cwd=cwd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=1200)
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def _run_single(model_dir, cwd):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    args = ["--model", "cnn", "--mode", "train", "--no_metric",
+            "--model_dir", model_dir, "--mesh", "data=8"]
+    return subprocess.run(
+        [sys.executable, "-c", _wrapper(args)], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=1200)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    cwd = str(tmp_path)
+    sp_dir = _params_dir(tmp_path, "cnn_sp")
+    mp_dir = _params_dir(tmp_path, "cnn_mp")
+    mps_dir = _params_dir(tmp_path, "cnn_mp_stream")
+
+    r = _run_single(sp_dir, cwd)
+    assert r.returncode == 0, r.stderr[-2000:]
+    sp_tr = np.load(os.path.join(sp_dir, "losses_tr.npy"))
+    sp_ev = np.load(os.path.join(sp_dir, "losses_ev.npy"))
+    assert sp_tr.shape == (3,)
+
+    for stream, mdir in ((False, mp_dir), (True, mps_dir)):
+        outs = _launch_pair(mdir, cwd, stream=stream)
+        for pid, (code, out, err) in enumerate(outs):
+            assert code == 0, (stream, pid, err[-3000:])
+            assert ("[distributed] process %d/2 sees 8 devices" % pid
+                    in out), (pid, out[-2000:])
+
+        # process 0 writes artifacts and prints epochs; process 1 is
+        # silent (is_primary gating)
+        assert "epoch 1 | train loss" in outs[0][1]
+        assert "epoch 1 | train loss" not in outs[1][1]
+        # checkpoint dir is model_dir + str(train_frac); the CLI default
+        # train_frac is the int 1 (reference quirk)
+        assert os.path.exists(os.path.join(mdir + "1", "last.ckpt"))
+
+        # each process owns a disjoint half of the global rows
+        assert "[rows] [(0, 1), (1, 2), (2, 3), (3, 4)]" in outs[0][1]
+        assert "[rows] [(4, 5), (5, 6), (6, 7), (7, 8)]" in outs[1][1]
+
+        mp_tr = np.load(os.path.join(mdir, "losses_tr.npy"))
+        mp_ev = np.load(os.path.join(mdir, "losses_ev.npy"))
+        # identical data/init/shuffles; differs only in f32 reduction
+        # order (measured agreement ~1e-5 relative)
+        np.testing.assert_allclose(mp_tr, sp_tr, rtol=1e-3)
+        np.testing.assert_allclose(mp_ev, sp_ev, rtol=1e-3)

@@ -143,6 +143,7 @@ def test_scan_epoch_composes_with_mesh():
     np.testing.assert_allclose(a, b, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_cli_scan_epoch_flag(tmp_path):
     """main.py --scan_epoch trains end to end and writes histories."""
     d = tmp_path / "cnn_scan"

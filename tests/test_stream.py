@@ -135,6 +135,7 @@ def _run_cli(args, cwd):
                           capture_output=True, text=True, timeout=900)
 
 
+@pytest.mark.slow
 def test_cli_stream_matches_default_trajectory(tmp_path):
     """`--stream` feeds the identical batch values, so the single-device
     loss trajectory matches the default HBM-resident path."""
@@ -238,6 +239,7 @@ def test_process_local_shard_rows_keeps_ragged_tail_full():
             assert got[pi][b][2] == len(wy)
 
 
+@pytest.mark.slow
 def test_stream_mesh_trajectory_matches_default(tmp_path):
     """--stream x --mesh through train_and_evaluate: the process-local
     assembly path produces the same loss trajectory as the default
