@@ -76,6 +76,10 @@ class CapsuleRouting(nn.Module):
     out_c: int
     n_iter: int = 3
     impl: str = "xla"  # 'xla' | 'pallas'
+    # bf16 storage + single-pass MXU contractions inside the Pallas
+    # kernel (f32 accumulation/softmax/squash); set under --dtype
+    # bfloat16.  The XLA impl ignores it (routing stays f32 there).
+    bf16: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -94,7 +98,7 @@ class CapsuleRouting(nn.Module):
         if self.impl == "pallas":
             from ..ops.routing_pallas import routed_capsules_pallas
 
-            return routed_capsules_pallas(x, w, n_iter=self.n_iter)
+            return routed_capsules_pallas(x, w, self.n_iter, self.bf16)
         priors = compute_priors(x, w)
         return dynamic_routing(priors, n_iter=self.n_iter)[:, 0]
 
@@ -102,7 +106,9 @@ class CapsuleRouting(nn.Module):
 class CapsuleNet(nn.Module):
     n_classes: int = 43
     routing_impl: str = "xla"
-    dtype: Optional[jnp.dtype] = None  # convs/decoder only; routing is f32
+    # convs/decoder compute dtype; bfloat16 additionally engages the
+    # bf16 Pallas routing variant (XLA routing stays f32 regardless)
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.conv1 = nn.Conv(
@@ -119,6 +125,9 @@ class CapsuleNet(nn.Module):
             in_c=8,
             out_c=16,
             impl=self.routing_impl,
+            # --dtype bfloat16 engages the bf16 Pallas routing variant
+            # (measured on-chip, BASELINE.md); the XLA impl stays f32
+            bf16=self.dtype == jnp.bfloat16,
         )
         self.decoder = ReconDecoder(dtype=self.dtype)
 

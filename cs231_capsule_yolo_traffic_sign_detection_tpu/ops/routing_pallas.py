@@ -67,32 +67,43 @@ def _pad_dims(N, K):
     return K_pad, N_pad
 
 
-def _kernel_operands(x, route_weights):
+def _kernel_operands(x, route_weights, io_dtype=jnp.float32):
     """Pre-arrange the SMALL operands into kernel layouts.
 
-    x (B, N, C)            -> x_t (B, C, N_pad) f32
-    route_weights (N,K,C,D) -> w3 (C*K_pad*D, N_pad) f32, component-major
+    x (B, N, C)            -> x_t (B, C, N_pad)
+    route_weights (N,K,C,D) -> w3 (C*K_pad*D, N_pad), component-major
     rows (see module docstring).  Cost is a few MB — versus a pad + a
     layout copy over the ~0.5 GB priors per kernel crossing when the
     votes product is computed outside.
+
+    io_dtype: storage dtype of the kernel operands.  bfloat16 halves
+    the resident weight block and the votes-FMA VMEM traffic (the bf16
+    variant of the kernel, see `routed_capsules_pallas`).
     """
     N, K, C, D = route_weights.shape
     K_pad, N_pad = _pad_dims(N, K)
-    x_t = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))     # (B, C, N)
+    x_t = jnp.transpose(x.astype(io_dtype), (0, 2, 1))        # (B, C, N)
     x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, N_pad - N)))
-    w3 = jnp.pad(route_weights.astype(jnp.float32),
+    w3 = jnp.pad(route_weights.astype(io_dtype),
                  ((0, N_pad - N), (0, K_pad - K), (0, 0), (0, 0)))
     w3 = jnp.transpose(w3, (2, 1, 3, 0))            # (C, K_pad, D, N_pad)
     w3 = w3.reshape(C * K_pad * D, N_pad)
     return x_t, w3
 
 
-def _votes(x_ref, w_ref, C, KD):
-    """In-VMEM priors (KD, N_pad): unrolled broadcast-FMA over in_C."""
-    priors = w_ref[0:KD, :] * x_ref[0, 0:1, :]
+def _votes(x_ref, w_ref, C, KD, store_dtype=None):
+    """In-VMEM priors (KD, N_pad): unrolled broadcast-FMA over in_C.
+
+    bf16 operands: each product is bf16 (exact inputs, one rounding),
+    the accumulation across in_C runs in f32 — then the result is
+    stored back at store_dtype (bf16 keeps the three routing passes
+    over the priors at half the VMEM traffic)."""
+    f32 = jnp.float32
+    acc = (w_ref[0:KD, :] * x_ref[0, 0:1, :]).astype(f32)
     for c in range(1, C):
-        priors = priors + w_ref[c * KD:(c + 1) * KD, :] * x_ref[0, c:c + 1, :]
-    return priors
+        acc = acc + (w_ref[c * KD:(c + 1) * KD, :]
+                     * x_ref[0, c:c + 1, :]).astype(f32)
+    return acc.astype(store_dtype or x_ref.dtype)
 
 
 def _group_mats(K_pad, D, dtype):
@@ -110,23 +121,66 @@ def _group_mats(K_pad, D, dtype):
     return gsum, grep
 
 
-def _routing_fwd_kernel(x_ref, w_ref, out_ref, *, n_iter, C, K, D, K_pad, N):
+def _big_dots(gsum, grep, bf16):
+    """The two (·, N_pad)-wide MXU contractions, dtype-specialized.
+
+    f32 mode: HIGHEST precision (multi-pass f32 on the MXU) — bitwise
+    the historical kernel.  bf16 mode: operands cast to bf16, one MXU
+    pass, f32 accumulation via preferred_element_type — the group
+    matrices are 0/1 (exact in bf16) so the only rounding is one bf16
+    quantization of the other operand.
+    """
+    f32 = jnp.float32
+    if bf16:
+        gsum_b = gsum.astype(jnp.bfloat16)
+        grep_b = grep.astype(jnp.bfloat16)
+
+        def gsum_dot(m):
+            return jnp.dot(gsum_b, m.astype(jnp.bfloat16),
+                           preferred_element_type=f32)
+
+        def grep_dot(m):
+            return jnp.dot(grep_b, m.astype(jnp.bfloat16),
+                           preferred_element_type=f32)
+    else:
+        hi = jax.lax.Precision.HIGHEST
+
+        def gsum_dot(m):
+            return jnp.dot(gsum, m, preferred_element_type=f32,
+                           precision=hi)
+
+        def grep_dot(m):
+            return jnp.dot(grep, m, preferred_element_type=f32,
+                           precision=hi)
+    return gsum_dot, grep_dot
+
+
+def _routing_fwd_kernel(x_ref, w_ref, out_ref, *, n_iter, C, K, D, K_pad, N,
+                        bf16=False):
     """One batch element: x (1, C, N_pad) + resident W3 -> caps (KD,).
 
     Rows are capsule-major: row k*D+d holds vote component d of capsule
     k across all N nodes (lanes).  Lanes >= N and rows >= K*D are zero
     padding (structurally zero: both operand paddings are zero).
+
+    bf16 mode (VERDICT r2 item 2): operands and the priors are stored
+    bf16 (half the resident-weight VMEM and votes traffic), the wide
+    MXU contractions run one bf16 pass with f32 accumulation, and the
+    numerically sensitive small-tensor math — softmax, logits, squash,
+    node sums — stays f32 throughout.
     """
     KD = K_pad * D
     N_pad = x_ref.shape[2]
+    f32 = jnp.float32
     priors = _votes(x_ref, w_ref, C, KD)                   # (KD, N_pad)
-    dtype = priors.dtype
+    dtype = f32  # routing-state dtype (logits/probs/v) is always f32
 
     # lane mask for node padding
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
     node_mask = (lane_ids < N).astype(dtype)               # (K_pad, N_pad)
 
     gsum, grep = _group_mats(K_pad, D, dtype)
+    gsum_dot, grep_dot = _big_dots(gsum, grep, bf16)
 
     # capsule-padding mask for the softmax (padded capsules -> -inf)
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
@@ -151,18 +205,16 @@ def _routing_fwd_kernel(x_ref, w_ref, out_ref, *, n_iter, C, K, D, K_pad, N):
         e = jnp.exp(shifted - m)
         probs = e / jnp.sum(e, axis=0, keepdims=True)      # (K_pad, N_pad)
         probs = probs * node_mask
-        probs_rep = jnp.dot(grep, probs,
-                            preferred_element_type=dtype,
-                            precision=jax.lax.Precision.HIGHEST)
-        s = jnp.sum(probs_rep * priors, axis=1, keepdims=True)  # (KD, 1)
+        probs_rep = grep_dot(probs)                        # (KD, N_pad) f32
+        # product promotes bf16 priors to f32; lane reduction in f32
+        s = jnp.sum(probs_rep * priors.astype(dtype), axis=1,
+                    keepdims=True)                         # (KD, 1)
         return squash_caps(s)
 
     def body(_, logits):
         v = routed_outputs(logits)                         # (KD, 1)
         # agreement: delta[k, n] = sum_d priors[kD+d, n] * v[kD+d]
-        delta = jnp.dot(gsum, priors * v,
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)  # (K_pad, N_pad)
+        delta = gsum_dot(priors * v.astype(priors.dtype))  # (K_pad, N_pad)
         return logits + delta
 
     logits0 = jnp.zeros((K_pad, N_pad), dtype)
@@ -171,8 +223,8 @@ def _routing_fwd_kernel(x_ref, w_ref, out_ref, *, n_iter, C, K, D, K_pad, N):
     out_ref[0] = v
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def routed_capsules_pallas(x, route_weights, n_iter=3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def routed_capsules_pallas(x, route_weights, n_iter=3, bf16=False):
     """x (B, N, in_C), route_weights (N, K, in_C, D) -> caps (B, K, D).
 
     Equivalent to compute_priors + dynamic_routing (squeezed), with the
@@ -180,11 +232,17 @@ def routed_capsules_pallas(x, route_weights, n_iter=3):
     the backward pass is a second fused kernel that recomputes the
     routing in VMEM, emits dx per batch element, and accumulates dW
     across the batch grid on-chip.
+
+    bf16=True (wired under --dtype bfloat16): operand storage and the
+    wide MXU contractions in bf16 with f32 accumulation; softmax /
+    squash / logits / gradient state stay f32.  Caps out is f32 either
+    way.  Parity band vs the f32 kernel is tested in
+    tests/test_pallas_routing.py.
     """
-    return _route(x, route_weights, n_iter)
+    return _route(x, route_weights, n_iter, bf16=bf16)
 
 
-def _route(x, route_weights, n_iter, interpret=None):
+def _route(x, route_weights, n_iter, interpret=None, bf16=False):
     """Operand-level forward: arrange operands, run the fused kernel."""
     if interpret is None:
         # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
@@ -194,10 +252,12 @@ def _route(x, route_weights, n_iter, interpret=None):
     K_pad, N_pad = _pad_dims(N, K)
     KD = K_pad * D
 
-    x_t, w3 = _kernel_operands(x, route_weights)
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    x_t, w3 = _kernel_operands(x, route_weights, io_dtype)
 
     kernel = functools.partial(
-        _routing_fwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N)
+        _routing_fwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N,
+        bf16=bf16)
 
     out = pl.pallas_call(
         kernel,
@@ -228,7 +288,7 @@ def _route(x, route_weights, n_iter, interpret=None):
 
 
 def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
-                        n_iter, C, K, D, K_pad, N):
+                        n_iter, C, K, D, K_pad, N, bf16=False):
     """Full VJP for one batch element, weights resident.
 
     Recomputes the priors (votes FMA) and the forward iterations in
@@ -248,15 +308,21 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
     KD = K_pad * D
     N_pad = x_ref.shape[2]
     b = pl.program_id(0)
+    f32 = jnp.float32
 
     priors = _votes(x_ref, w_ref, C, KD)                    # (KD, N_pad)
-    dtype = priors.dtype
+    # gradient-state dtype (logits/probs/dP/Lbar) is always f32; in
+    # bf16 mode only the priors/operand storage and the wide MXU
+    # contractions drop to bf16 (f32 accumulation)
+    dtype = f32
+    priors_f = priors.astype(f32) if bf16 else priors
     gbar = gbar_ref[0]                                      # (KD, 1)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 1)
     node_mask = (lane_ids < N).astype(dtype)
 
     gsum, grep = _group_mats(K_pad, D, dtype)
+    gsum_dot, grep_dot = _big_dots(gsum, grep, bf16)
 
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (K_pad, N_pad), 0)
     cap_neg = jnp.where(cap_ids < K, 0.0, _NEG_INF).astype(dtype)
@@ -274,7 +340,7 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
 
     def node_sum(probs):
         """s[kd] = sum_n probs[k,n] * priors[kd,n]."""
-        return jnp.sum(dot(grep, probs) * priors, axis=1, keepdims=True)
+        return jnp.sum(grep_dot(probs) * priors_f, axis=1, keepdims=True)
 
     def squash_parts(s):
         n2 = dot(gsum, s * s)                               # (K_pad, 1)
@@ -296,7 +362,7 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
         sc, _ = squash_parts(s)
         v = s * dot(grep, sc)
         v_list.append(v)
-        L = L + dot(gsum, priors * v)
+        L = L + gsum_dot(priors * v.astype(priors.dtype))
     logits_list.append(L)
 
     # ---- reverse sweep ----
@@ -314,8 +380,8 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
         sbar = vbar * dot(grep, sc) + 2.0 * s * dot(grep, scp * dot_sv)
 
         # node-sum VJP
-        probsbar = dot(gsum, priors * sbar)                 # (K_pad, N_pad)
-        dP = dP + dot(grep, probs) * sbar
+        probsbar = gsum_dot(priors * sbar.astype(priors.dtype))
+        dP = dP + grep_dot(probs) * sbar
 
         # masked softmax VJP over the capsule axis
         inner = jnp.sum(probs * probsbar, axis=0, keepdims=True)
@@ -323,17 +389,26 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
 
         if i > 0:
             # L_i = L_{i-1} + gsum @ (priors * v_{i-1})
-            lrep = dot(grep, Lbar)                          # (KD, N_pad)
-            vbar = jnp.sum(priors * lrep, axis=1, keepdims=True)
+            lrep = grep_dot(Lbar)                           # (KD, N_pad)
+            vbar = jnp.sum(priors_f * lrep, axis=1, keepdims=True)
             dP = dP + v_list[i - 1] * lrep
             # identity part of the sum: Lbar carries to L_{i-1}
 
     # ---- votes-matmul VJP, on-chip ----
-    ones_row = jnp.ones((1, KD), dtype)
-    for c in range(C):
-        w_c = w_ref[c * KD:(c + 1) * KD, :]
-        dx_ref[0, c:c + 1, :] = jnp.dot(
-            ones_row, w_c * dP, preferred_element_type=dtype, precision=hi)
+    if bf16:
+        ones_row = jnp.ones((1, KD), jnp.bfloat16)
+        for c in range(C):
+            w_c = w_ref[c * KD:(c + 1) * KD, :]
+            dx_ref[0, c:c + 1, :] = jnp.dot(
+                ones_row, (w_c * dP.astype(w_c.dtype)),
+                preferred_element_type=dtype)
+    else:
+        ones_row = jnp.ones((1, KD), dtype)
+        for c in range(C):
+            w_c = w_ref[c * KD:(c + 1) * KD, :]
+            dx_ref[0, c:c + 1, :] = jnp.dot(
+                ones_row, w_c * dP, preferred_element_type=dtype,
+                precision=hi)
 
     @pl.when(b == 0)
     def _init():
@@ -343,11 +418,11 @@ def _routing_bwd_kernel(x_ref, w_ref, gbar_ref, dx_ref, dw_ref, *,
         dw_ref[c * KD:(c + 1) * KD, :] += x_ref[0, c:c + 1, :] * dP
 
 
-def _fwd(x, route_weights, n_iter):
-    return _route(x, route_weights, n_iter), (x, route_weights)
+def _fwd(x, route_weights, n_iter, bf16):
+    return _route(x, route_weights, n_iter, bf16=bf16), (x, route_weights)
 
 
-def _bwd(n_iter, residuals, g):
+def _bwd(n_iter, bf16, residuals, g):
     """Fused-kernel VJP — see _routing_bwd_kernel.  Only the small dx
     and weight-sized dW outputs cross the HBM boundary; they are
     sliced/rearranged back to operand shapes here (cheap)."""
@@ -358,14 +433,16 @@ def _bwd(n_iter, residuals, g):
     K_pad, N_pad = _pad_dims(N, K)
     KD = K_pad * D
 
-    x_t, w3 = _kernel_operands(x, route_weights)
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    x_t, w3 = _kernel_operands(x, route_weights, io_dtype)
 
     gbar = jnp.pad(g.astype(jnp.float32),
                    ((0, 0), (0, K_pad - K), (0, 0)))
     gbar = gbar.reshape(B, KD, 1)
 
     kernel = functools.partial(
-        _routing_bwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N)
+        _routing_bwd_kernel, n_iter=n_iter, C=C, K=K, D=D, K_pad=K_pad, N=N,
+        bf16=bf16)
 
     dx_t, dw3 = pl.pallas_call(
         kernel,

@@ -103,3 +103,15 @@ def test_x_dtype_policy_gating():
     # capsule's reconstruction loss consumes x in f32 -> stays f32
     _, t_cap = _train("capsule", "bfloat16", n_epochs=1, n=8, batch=4)
     assert t_cap._x_dtype == jnp.float32
+
+
+def test_bf16_pallas_routing_convergence_band():
+    """bf16 Pallas routing kernel variant (VERDICT r2 item 2): training
+    with --dtype bfloat16 --routing pallas must track the f32 pallas
+    run.  Interpret-mode kernels on CPU — tiny shapes."""
+    f32, _ = _train("capsule", "float32", n_epochs=2, n=8, batch=4,
+                    routing_impl="pallas")
+    bf16, _ = _train("capsule", "bfloat16", n_epochs=2, n=8, batch=4,
+                     routing_impl="pallas")
+    assert bf16[-1] < bf16[0], bf16
+    assert bf16[-1] < 1.5 * f32[-1] + 0.1, (f32, bf16)

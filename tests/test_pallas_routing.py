@@ -61,3 +61,46 @@ def test_pallas_grad_matches_xla(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_pallas_bf16_parity_band(rng):
+    """bf16 kernel variant (VERDICT r2 item 2): same program with bf16
+    operand storage + single-pass MXU contractions, f32 accumulation.
+    Must stay within a bf16-rounding band of the f32 kernel."""
+    B, N, K, in_c, D = 2, 160, 43, 8, 16
+    x = rng.randn(B, N, in_c).astype(np.float32)
+    w = (0.1 * rng.randn(N, K, in_c, D)).astype(np.float32)
+
+    f32 = np.asarray(RP._route(
+        jnp.asarray(x), jnp.asarray(w), 3, interpret=True))
+    bf16 = np.asarray(RP._route(
+        jnp.asarray(x), jnp.asarray(w), 3, interpret=True, bf16=True))
+    assert bf16.dtype == np.float32  # caps output stays f32
+    # one bf16 rounding on operands/products, f32 accumulation; caps
+    # values are O(0.1-1) post-squash
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=5e-3)
+    # and it must still agree with the XLA reference within that band
+    np.testing.assert_allclose(bf16, _xla(x, w), rtol=0.05, atol=5e-3)
+
+
+def test_pallas_bf16_grad_band(rng):
+    B, N, K, in_c, D = 2, 64, 7, 8, 16
+    x = jnp.asarray(rng.randn(B, N, in_c).astype(np.float32))
+    w = jnp.asarray((0.1 * rng.randn(N, K, in_c, D)).astype(np.float32))
+
+    def loss(bf16):
+        def f(x, w):
+            return jnp.sum(RP.routed_capsules_pallas(x, w, 3, bf16) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, w)
+
+    gx_b, gw_b = loss(True)
+    gx_f, gw_f = loss(False)
+    # gradient state stays f32; errors are bf16 operand rounding only.
+    # atol anchored to each gradient's own scale (tiny near-zero
+    # elements see absolute bf16 noise)
+    np.testing.assert_allclose(
+        np.asarray(gx_b), np.asarray(gx_f), rtol=0.08,
+        atol=0.02 * float(np.abs(np.asarray(gx_f)).max()))
+    np.testing.assert_allclose(
+        np.asarray(gw_b), np.asarray(gw_f), rtol=0.08,
+        atol=0.02 * float(np.abs(np.asarray(gw_f)).max()))
