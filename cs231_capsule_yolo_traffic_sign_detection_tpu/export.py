@@ -78,6 +78,39 @@ def make_classifier_fn(model, variables, *, dtype=jnp.float32):
     return fn
 
 
+def make_int8_detector_fn(qparams, *, n_boxes, n_classes, img_size,
+                          conf_th=0.5, use_nms=False):
+    """int8-resident detection serving fn (VERDICT r2 item 3).
+
+    Same contract as `make_detector_fn` but over the calibrated int8
+    chain (`ops.quant.darknet_int8_resident_apply`): s8 x s8 -> s32
+    convs with int8 inter-layer activations in HBM — the measured
+    serving throughput champion (BASELINE.md).  The int8 weights,
+    per-channel weight scales, AND the static activation scales are
+    all closed over, so they serialize into the artifact as constants:
+    the exported program is the exact graph the live `--dtype int8`
+    predict path runs, calibration included.
+    """
+    from .ops import decode as decode_ops
+    from .ops import quant
+
+    g = img_size // 32
+
+    def fn(x):
+        y = quant.darknet_int8_resident_apply(
+            qparams, x.astype(jnp.float32),
+            n_boxes=n_boxes, n_classes=n_classes)
+        d = decode_ops.decode_grid(
+            y, n_classes=n_classes, n_boxes=n_boxes, img_size=img_size,
+            max_boxes=g * g * n_boxes, conf_th=conf_th)
+        if use_nms:
+            d = dict(d)
+            d["valid"] = decode_ops.nms_mask(d["xy"], d["conf"], d["valid"])
+        return d
+
+    return fn
+
+
 def make_grid_fn(model, variables, *, dtype=jnp.float32):
     """Raw grid forward (darkcapsule): x -> (B, g, g, 5) f32."""
     variables = _cast_variables(variables, dtype)
@@ -144,14 +177,41 @@ def load_serving(path):
 
 def export_from_checkpoint(params, model_dir, restore_file, *,
                            batch=None, conf_th=0.5, use_nms=False,
-                           dtype=jnp.float32, platforms=None):
-    """Restore a trained checkpoint and export its serving artifact."""
+                           dtype=jnp.float32, platforms=None, x_cal=None):
+    """Restore a trained checkpoint and export its serving artifact.
+
+    dtype "int8" (string sentinel — there is no int8 *compute policy*,
+    it is a different graph) exports the calibrated int8-resident
+    detector chain; `x_cal` must then be a representative input batch
+    (same scale the serving inputs will use) for the static activation
+    scales.  Detectors only.
+    """
     from .predict import restore_variables
     from .train.driver import model_input_shape
 
+    if str(dtype) == "int8":
+        # validate BEFORE the checkpoint restore so misuse fails fast
+        if params.model not in ("darknet_d", "darknet_r"):
+            raise ValueError(
+                "int8 export is defined for the DarkNet detectors only "
+                f"(got model={params.model!r})")
+        if x_cal is None:
+            raise ValueError(
+                "int8 export needs a calibration batch: pass x_cal= "
+                "(a representative (B, S, S, 3) input batch)")
+
     model, variables, _ = restore_variables(params, model_dir, restore_file)
     shape = model_input_shape(params)
-    if params.model in ("cnn", "capsule"):
+    if str(dtype) == "int8":
+        from .ops import quant
+
+        qparams = quant.quantize_darknet(variables,
+                                         x_cal=jnp.asarray(x_cal))
+        fn = make_int8_detector_fn(
+            qparams, n_boxes=int(params.n_boxes),
+            n_classes=int(params.n_classes), img_size=shape[0],
+            conf_th=conf_th, use_nms=use_nms)
+    elif params.model in ("cnn", "capsule"):
         fn = make_classifier_fn(model, variables, dtype=dtype)
     elif params.model == "darkcapsule":
         # no grid decode: the reference defines no predict fn for

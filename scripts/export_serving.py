@@ -36,10 +36,16 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="pin the batch dim (default: symbolic)")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "f32", "bfloat16", "bf16"],
-                    help="serving compute dtype (int8 serving is a "
-                         "calibrated predict-time path, not exportable "
-                         "as a weights-baked artifact yet)")
+                    choices=["float32", "f32", "bfloat16", "bf16", "int8"],
+                    help="serving dtype; int8 (detectors only) exports "
+                         "the calibrated int8-resident chain with the "
+                         "static activation scales baked in — "
+                         "calibrated on the test split (synthetic "
+                         "fallback), or pass --calib npy")
+    ap.add_argument("--calib", default=None,
+                    help="int8: .npy file with a representative "
+                         "(B, S, S, 3) calibration batch (default: "
+                         "first test batch, synthetic fallback)")
     ap.add_argument("--conf_th", type=float, default=0.5)
     ap.add_argument("--nms", action="store_true",
                     help="bake on-device NMS into the artifact")
@@ -76,13 +82,46 @@ def main():
     ns.routing = "auto"
     params = load_params(model_dir, ns, with_writer=False)
 
-    dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "bf16") else jnp.float32
+    if args.dtype == "int8":
+        dtype = "int8"
+    elif args.dtype in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
+
+    x_cal = None
+    if dtype == "int8":
+        import numpy as np
+
+        if args.calib:
+            x_cal = np.load(args.calib).astype(np.float32)
+        else:
+            # mirror predict.py's calibration source: the first
+            # batch_size test inputs at model scale (synthetic fallback
+            # when the dataset is absent — deterministic)
+            from cs231_capsule_yolo_traffic_sign_detection_tpu.data import (
+                loader as data_loader,
+            )
+
+            data_dir = get_data_and_model_dir(args.model)[0]
+            try:
+                import pickle
+
+                with open(data_dir + "/test.p", "rb") as f:
+                    x_cal, _ = pickle.load(f)
+                x_cal = np.asarray(x_cal, np.float32)
+            except (FileNotFoundError, OSError):
+                _, _, x_cal, _ = data_loader.synthetic_dataset(
+                    args.model, params, n_train=2,
+                    n_eval=int(params.batch_size))
+            x_cal = x_cal[: int(params.batch_size)]
+        print(f"[export] int8 calibration batch: {x_cal.shape}")
 
     blob, fn = export.export_from_checkpoint(
         params, model_dir, args.restore, batch=args.batch,
         conf_th=args.conf_th, use_nms=args.nms, dtype=dtype,
-        platforms=platforms)
+        platforms=platforms, x_cal=x_cal)
 
     out = args.out or os.path.join(model_dir, "serving.stablehlo")
     export.save(blob, out)

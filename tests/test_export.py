@@ -169,3 +169,83 @@ def test_unknown_platform_artifact_rejected(tmp_path):
     x = np.zeros((1, 64, 64, 3), np.float32)
     with pytest.raises(ValueError, match="exported for platforms"):
         serve(x)  # running a tpu-lowered artifact on the CPU backend
+
+
+def test_int8_detector_roundtrip(tmp_path):
+    """int8-resident chain export (VERDICT r2 item 3): the artifact
+    must reproduce the LIVE quant path (quantize_darknet +
+    darknet_int8_resident_apply) exactly — scales baked as constants."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+
+    model = DarkNet(n_boxes=2, n_classes=43, dropout=0.0)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x0, train=False)
+
+    rng = np.random.RandomState(0)
+    x_cal = (rng.rand(2, 64, 64, 3) * 255).astype(np.float32)
+    qparams = quant.quantize_darknet(variables, x_cal=jnp.asarray(x_cal))
+
+    fn = export.make_int8_detector_fn(
+        qparams, n_boxes=2, n_classes=43, img_size=64, conf_th=0.1,
+        use_nms=True)
+
+    blob = export.export_serving(fn, (64, 64, 3), batch=2)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "det_int8.stablehlo")))
+    # selfcheck compares the artifact against the identical live graph
+    assert export.selfcheck(serve, fn, (64, 64, 3), batch=2)
+
+    # and the baked program equals the live predict-path computation
+    x = (np.random.RandomState(1).rand(2, 64, 64, 3) * 255).astype(
+        np.float32)
+    live = jax.jit(lambda q, xb: quant.darknet_int8_resident_apply(
+        q, xb, n_boxes=2, n_classes=43))(qparams, jnp.asarray(x))
+    # decode consumes the same grid: spot-check the raw confidences by
+    # re-decoding live output and comparing the artifact's dict
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import (
+        decode as decode_ops,
+    )
+
+    want = decode_ops.decode_grid(live, n_classes=43, n_boxes=2,
+                                  img_size=64, max_boxes=2 * 2 * 2,
+                                  conf_th=0.1)
+    got = serve(x)
+    np.testing.assert_allclose(np.asarray(got["conf"], np.float32),
+                               np.asarray(want["conf"], np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_detector_symbolic_batch(tmp_path):
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+
+    model = DarkNet(n_boxes=2, n_classes=0, dropout=0.0)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x0, train=False)
+    x_cal = (np.random.RandomState(0).rand(2, 64, 64, 3) * 255).astype(
+        np.float32)
+    qparams = quant.quantize_darknet(variables, x_cal=jnp.asarray(x_cal))
+    fn = export.make_int8_detector_fn(
+        qparams, n_boxes=2, n_classes=0, img_size=64, conf_th=0.1)
+    blob = export.export_serving(fn, (64, 64, 3), batch=None)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "det_int8_poly.stablehlo")))
+    for b in (1, 3):
+        x = (np.random.RandomState(b).rand(b, 64, 64, 3) * 255).astype(
+            np.float32)
+        got = jax.tree_util.tree_leaves(serve(x))
+        want = jax.tree_util.tree_leaves(jax.jit(fn)(jnp.asarray(x)))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(w, np.float32),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_int8_export_requires_calibration(tmp_path):
+    """export_from_checkpoint must refuse int8 without x_cal, and for
+    non-detector models."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+
+    p = Params(model="cnn", n_classes=43)
+    with pytest.raises(ValueError, match="detectors only"):
+        export.export_from_checkpoint(p, str(tmp_path), "last",
+                                      dtype="int8", x_cal=None)
