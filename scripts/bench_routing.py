@@ -69,16 +69,25 @@ def main():
     def pallas(x, w):
         return jnp.sum(RP.routed_capsules_pallas(x, w, 3) ** 2)
 
+    @jax.jit
+    def pallas_bf16(x, w):
+        return jnp.sum(RP.routed_capsules_pallas(x, w, 3, True) ** 2)
+
     t_x, v_x = timed(xla, x, w)
     t_p, v_p = timed(pallas, x, w)
+    t_b, v_b = timed(pallas_bf16, x, w)
     print(f"batch={batch} N={N} K={K} D={D}")
-    print(f"fwd xla:    {t_x*1e3:8.3f} ms/iter  checksum {v_x:.6f}")
-    print(f"fwd pallas: {t_p*1e3:8.3f} ms/iter  checksum {v_p:.6f}")
+    print(f"fwd xla:         {t_x*1e3:8.3f} ms/iter  checksum {v_x:.6f}")
+    print(f"fwd pallas:      {t_p*1e3:8.3f} ms/iter  checksum {v_p:.6f}")
+    print(f"fwd pallas-bf16: {t_b*1e3:8.3f} ms/iter  checksum {v_b:.6f}")
     print(f"fwd speedup: {t_x/t_p:.2f}x   rel err {abs(v_x-v_p)/abs(v_x):.2e}")
+    print(f"fwd bf16 vs f32 kernel: {t_p/t_b:.2f}x   "
+          f"rel err {abs(v_p-v_b)/abs(v_p):.2e}")
 
     # fwd+bwd (training path): value_and_grad through both routes
     xla_g = jax.value_and_grad(xla, argnums=(0, 1))
     pal_g = jax.value_and_grad(pallas, argnums=(0, 1))
+    pal_bg = jax.value_and_grad(pallas_bf16, argnums=(0, 1))
 
     def grad_scalar(fn):
         def run(xx, ww):
@@ -88,10 +97,14 @@ def main():
 
     t_xg, v_xg = timed(grad_scalar(xla_g), x, w)
     t_pg, v_pg = timed(grad_scalar(pal_g), x, w)
-    print(f"fwd+bwd xla:    {t_xg*1e3:8.3f} ms/iter  checksum {v_xg:.6f}")
-    print(f"fwd+bwd pallas: {t_pg*1e3:8.3f} ms/iter  checksum {v_pg:.6f}")
+    t_bg, v_bg = timed(grad_scalar(pal_bg), x, w)
+    print(f"fwd+bwd xla:         {t_xg*1e3:8.3f} ms/iter  checksum {v_xg:.6f}")
+    print(f"fwd+bwd pallas:      {t_pg*1e3:8.3f} ms/iter  checksum {v_pg:.6f}")
+    print(f"fwd+bwd pallas-bf16: {t_bg*1e3:8.3f} ms/iter  checksum {v_bg:.6f}")
     print(f"fwd+bwd speedup: {t_xg/t_pg:.2f}x   "
           f"rel err {abs(v_xg-v_pg)/max(abs(v_xg),1e-9):.2e}")
+    print(f"fwd+bwd bf16 vs f32 kernel: {t_pg/t_bg:.2f}x   "
+          f"rel err {abs(v_pg-v_bg)/max(abs(v_pg),1e-9):.2e}")
 
 
 if __name__ == "__main__":
