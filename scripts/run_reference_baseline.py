@@ -37,27 +37,40 @@ def prepare_reference_workdir(work, n_train=512, n_eval=64, n_epochs=1,
     packages the reference imports but this image lacks (torchvision,
     torchsummary) and a torch-0.4 `.view` compat shim (the reference's
     Flatten views non-contiguous tensors, models.py:10).
+
+    Model-aware (VERDICT r2 item 5): classifiers get GTSRB-style data,
+    the detectors GTSDB-style grid labels at whatever n_grid /
+    darknet_input the params_json asks for (the reference DarkNet is
+    fully convolutional, so 64px / n_grid=2 runs fine on this box).
     """
     shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work + "/data/GTSRB", exist_ok=True)
+    data_sub = "GTSRB" if model in ("cnn", "capsule") else "GTSDB"
+    os.makedirs(f"{work}/data/{data_sub}", exist_ok=True)
     os.makedirs(work + "/experiments/" + model, exist_ok=True)
 
     cfg = {
         "batch_size": 64, "n_classes": 43, "lr": 1e-3,
         "n_epochs": n_epochs, "dropout": 0.5, "lr_decay": 0.1,
     }
+    if model not in ("cnn", "capsule"):
+        cfg.update({
+            "batch_size": 8, "n_boxes": 2, "n_grid": 2,
+            "darknet_input": 64, "l_coord": 5.0, "l_noobj": 0.5,
+        })
     if params_json:
         cfg.update(params_json)
     with open(work + f"/experiments/{model}/params.json", "w") as f:
         json.dump(cfg, f)
 
-    p = Params(model=model, n_classes=43)
+    p = Params(model=model, n_classes=cfg["n_classes"],
+               **{k: cfg[k] for k in
+                  ("n_boxes", "n_grid", "darknet_input") if k in cfg})
     x_tr, y_tr, x_ev, y_ev = synthetic_dataset(model, p,
                                                n_train=n_train,
                                                n_eval=n_eval)
-    with open(work + "/data/GTSRB/train.p", "wb") as f:
+    with open(f"{work}/data/{data_sub}/train.p", "wb") as f:
         pickle.dump((x_tr, y_tr), f)
-    with open(work + "/data/GTSRB/eval.p", "wb") as f:
+    with open(f"{work}/data/{data_sub}/eval.p", "wb") as f:
         pickle.dump((x_ev, y_ev), f)
 
     os.makedirs(work + "/stubs/torchvision", exist_ok=True)
