@@ -122,6 +122,52 @@ def make_grid_fn(model, variables, *, dtype=jnp.float32):
     return fn
 
 
+def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
+                      n_boxes, n_classes, img_size, cap_input=32,
+                      max_crops=16, conf_th=0.5, use_nms=False,
+                      dtype=jnp.float32):
+    """Fused two-stage serving fn: detect -> crop -> classify, ONE program.
+
+    The TPU-native composition of the reference's flagship demo
+    (predict_fns.py:75-82): detector forward + grid decode, then the
+    top `max_crops` detections are cropped from the device-resident
+    network input and bilinear-resized to the classifier size
+    (ops/crop.py — cv2-parity sampling), centered, and classified — no
+    host round-trip between the stages (measured at ~40% of the host
+    pipeline's non-link time, BASELINE.md).  Returns the decode dict
+    plus `class_scores` (B, max_crops, n_classes).
+
+    DEVIATION (opt-in; the product `--combine` path is unchanged):
+    crops are sampled from the img_size input, not the original
+    full-resolution frame, and only the top max_crops (an explicit
+    static cap) are classified.  COMPAT.md #31.
+    """
+    from .data.loader import center_rgb
+    from .ops import decode as decode_ops
+    from .ops.crop import crop_resize_bilinear
+
+    det_vars = _cast_variables(det_vars, dtype)
+
+    def fn(x):
+        y = det_model.apply(det_vars, x.astype(dtype), train=False)
+        y = y.astype(jnp.float32)
+        d = decode_ops.decode_grid(
+            y, n_classes=n_classes, n_boxes=n_boxes, img_size=img_size,
+            max_boxes=max_crops, conf_th=conf_th)
+        if use_nms:
+            d = dict(d)
+            d["valid"] = decode_ops.nms_mask(d["xy"], d["conf"], d["valid"])
+        crops = crop_resize_bilinear(x, d["xy"], cap_input,
+                                     valid=d["valid"])
+        b, m = crops.shape[:2]
+        flat = center_rgb(crops.reshape(b * m, cap_input, cap_input, -1))
+        scores = cls_model.apply(cls_vars, flat, train=False)
+        scores = scores.astype(jnp.float32).reshape(b, m, -1)
+        return dict(d, class_scores=scores)
+
+    return fn
+
+
 def export_serving(fn, input_shape, *, batch=None, platforms=None):
     """Serialize a serving fn to portable bytes.
 

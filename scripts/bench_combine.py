@@ -63,6 +63,12 @@ def main():
                          "f32; its share is tiny)")
     ap.add_argument("--crops_per_image", type=float, default=2.0)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--device_crop", action="store_true",
+                    help="fused detect->crop->classify in ONE device "
+                         "program (ops/crop.py + export.make_two_stage_fn"
+                         "; COMPAT #31) instead of the host crop hop")
+    ap.add_argument("--max_crops", type=int, default=8,
+                    help="device_crop: static per-image crop cap")
     ap.add_argument("--size", type=int, default=448,
                     help="detector input (448 = flagship; smaller for "
                          "CPU smoke tests)")
@@ -157,6 +163,28 @@ def main():
     cls_jit = jax.jit(
         lambda v, x: cls_model.apply(v, x, train=False).astype(jnp.float32))
 
+    def fused_step(dv, cv, x, conf_th):
+        """detect -> decode -> device crop/resize/center -> classify,
+        one program (the export.make_two_stage_fn composition, inlined
+        here so the int8 detector variant composes too)."""
+        from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader \
+            import center_rgb
+        from cs231_capsule_yolo_traffic_sign_detection_tpu.ops.crop \
+            import crop_resize_bilinear
+
+        y = det_forward(dv, x)
+        d = decode_ops.decode_grid(
+            y, n_classes=N_CLASSES, n_boxes=N_BOXES, img_size=SIZE,
+            max_boxes=args.max_crops, conf_th=conf_th)
+        crops = crop_resize_bilinear(x, d["xy"], CAP_IN, valid=d["valid"])
+        b, m = crops.shape[:2]
+        flat = center_rgb(crops.reshape(b * m, CAP_IN, CAP_IN, 3))
+        scores = cls_model.apply(cv, flat, train=False)
+        scores = scores.astype(jnp.float32).reshape(b, m, -1)
+        return y, d, scores, jnp.sum(d["conf"]) + jnp.sum(scores)
+
+    fused_jit = jax.jit(fused_step)
+
     # ---- synthetic GTSDB-like frames -----------------------------------
     rng = np.random.RandomState(0)
     images = [(rng.rand(800, 1360, 3) * 255).astype(np.uint8)
@@ -189,9 +217,13 @@ def main():
         t["h2d"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        ys, ds, chks = [], [], []
+        ys, ds, scs, chks = [], [], [], []
         for xb in xbs:
-            y, d, chk = det_jit(dvars, xb, conf_th)
+            if args.device_crop:
+                y, d, sc, chk = fused_jit(dvars, cvars, xb, conf_th)
+                scs.append(sc)
+            else:
+                y, d, chk = det_jit(dvars, xb, conf_th)
             ys.append(y)
             ds.append(d)
             chks.append(chk)
@@ -203,33 +235,48 @@ def main():
         y_hat = np.concatenate([np.asarray(y) for y in ys], axis=0)
         decoded = {k: np.concatenate([np.asarray(d[k]) for d in ds], axis=0)
                    for k in ds[0]}
+        scores = (np.concatenate([np.asarray(s) for s in scs], axis=0)
+                  if args.device_crop else None)
         t["detect_d2h"] = time.perf_counter() - t0  # the fetch itself
 
         t0 = time.perf_counter()
         image_indices, boxes_xy, classes0 = decode_ops.to_flat_host(
             decoded, image_hw=image_hw, img_size=SIZE, with_classes=True)
-        _, crops_bch = viz.draw_boxes_vec(
-            images, image_indices, boxes_xy, classes0)
-        all_crops = [
-            cv2.resize(crop, (CAP_IN, CAP_IN)) if crop.size > 0
-            else np.zeros((CAP_IN, CAP_IN, 3), np.float32)
-            for crops in crops_bch for crop in crops
-        ]
-        crops = (np.array(all_crops, np.float32) if all_crops
-                 else np.zeros((0, CAP_IN, CAP_IN, 3), np.float32))
-        crops = center_rgb(crops)
+        if args.device_crop:
+            # annotation still happens (product behavior); the crops
+            # were classified ON DEVICE inside the fused program
+            viz.draw_boxes_vec(images, image_indices, boxes_xy, classes0)
+            crops = None
+        else:
+            _, crops_bch = viz.draw_boxes_vec(
+                images, image_indices, boxes_xy, classes0)
+            all_crops = [
+                cv2.resize(crop, (CAP_IN, CAP_IN)) if crop.size > 0
+                else np.zeros((CAP_IN, CAP_IN, 3), np.float32)
+                for crops in crops_bch for crop in crops
+            ]
+            crops = (np.array(all_crops, np.float32) if all_crops
+                     else np.zeros((0, CAP_IN, CAP_IN, 3), np.float32))
+            crops = center_rgb(crops)
         t["crops"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        if crops.shape[0]:
-            outs = []
-            for i in range(0, crops.shape[0], args.batch):
-                outs.append(cls_jit(cvars,
-                                    jnp.asarray(crops[i: i + args.batch])))
-            class_y_hat = np.concatenate([np.asarray(o) for o in outs],
-                                         axis=0)
+        if args.device_crop:
+            # flatten the fused per-box scores in to_flat_host's order
+            valid = np.asarray(decoded["valid"], bool)
+            class_y_hat = scores[valid]
+            n_crops_run = int(valid.sum())
         else:
-            class_y_hat = np.zeros((0, N_CLASSES), np.float32)
+            if crops.shape[0]:
+                outs = []
+                for i in range(0, crops.shape[0], args.batch):
+                    outs.append(cls_jit(
+                        cvars, jnp.asarray(crops[i: i + args.batch])))
+                class_y_hat = np.concatenate([np.asarray(o) for o in outs],
+                                             axis=0)
+            else:
+                class_y_hat = np.zeros((0, N_CLASSES), np.float32)
+            n_crops_run = crops.shape[0]
         t["classify"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -238,7 +285,7 @@ def main():
         combined = combine_y_hat(images, y_hat, class_y_hat,
                                  image_indices, boxes_xy, p)
         t["combine"] = time.perf_counter() - t0
-        return t, crops.shape[0], combined
+        return t, n_crops_run, combined
 
     log("[combine] warmup (compiles both stages)...")
     t_w, n_crops, _ = pipeline()

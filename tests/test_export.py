@@ -249,3 +249,49 @@ def test_int8_export_requires_calibration(tmp_path):
     with pytest.raises(ValueError, match="detectors only"):
         export.export_from_checkpoint(p, str(tmp_path), "last",
                                       dtype="int8", x_cal=None)
+
+
+def test_two_stage_fused_roundtrip(tmp_path):
+    """Fused detect->crop->classify program (COMPAT #31): artifact
+    round-trip + the classifier scores must equal composing the stages
+    by hand on device."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (
+        center_rgb,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import (
+        decode as decode_ops,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops.crop import (
+        crop_resize_bilinear,
+    )
+
+    det = DarkNet(n_boxes=2, n_classes=43, dropout=0.0)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    dvars = det.init(jax.random.PRNGKey(0), x0, train=False)
+    cls = ConvNet(n_classes=43, dropout=0.0)
+    cvars = cls.init(jax.random.PRNGKey(1),
+                     jnp.zeros((2, 32, 32, 3), jnp.float32), train=False)
+
+    fn = export.make_two_stage_fn(
+        det, dvars, cls, cvars, n_boxes=2, n_classes=43, img_size=64,
+        max_crops=4, conf_th=0.2)
+
+    blob = export.export_serving(fn, (64, 64, 3), batch=2)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "two_stage.stablehlo")))
+    assert export.selfcheck(serve, fn, (64, 64, 3), batch=2, atol=1e-4)
+
+    # staged composition on device must agree with the fused program
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                    .astype(np.float32) * 255.0)
+    got = jax.jit(fn)(x)
+    y = det.apply(dvars, x, train=False)
+    d = decode_ops.decode_grid(y, n_classes=43, n_boxes=2, img_size=64,
+                               max_boxes=4, conf_th=0.2)
+    crops = crop_resize_bilinear(x, d["xy"], 32, valid=d["valid"])
+    flat = center_rgb(crops.reshape(8, 32, 32, 3))
+    want = cls.apply(cvars, flat, train=False).reshape(2, 4, 43)
+    np.testing.assert_allclose(np.asarray(got["class_scores"]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+    # masked (invalid) detections produce the all-zero-crop scores
+    assert got["class_scores"].shape == (2, 4, 43)
