@@ -208,13 +208,27 @@ def class_pred(x, model_dir, params, restore_file):
 
 
 def dark_class_pred(images, dark_model_dir, dark_params, class_model_dir,
-                    class_params, restore_file):
+                    class_params, restore_file, device_crop=False,
+                    max_crops=16):
     """Two-stage detect-then-classify pipeline.
 
     Reference parity: predict_fns.py:75-82.
+
+    device_crop=True (opt-in extension, COMPAT #33): detect -> decode
+    -> crop/resize/center -> classify compile into ONE device program
+    (ops/crop.py bilinear sampler, cv2-parity) — no host round-trip
+    between the stages.  Deviations: crops sampled from the resized
+    network input rather than the full-resolution frame, and a static
+    top-`max_crops` detections per image are classified.  Default off
+    = the reference composition, unchanged.
     """
     from .data.loader import center_rgb
     from .ops.boxes import combine_y_hat
+
+    if device_crop:
+        return _dark_class_pred_fused(
+            images, dark_model_dir, dark_params, class_model_dir,
+            class_params, restore_file, max_crops=max_crops)
 
     dark_y_hat, dark_crops, image_indices, boxes_xy = dark_pred(
         images, dark_model_dir, dark_params, restore_file, is_end=False)
@@ -225,6 +239,72 @@ def dark_class_pred(images, dark_model_dir, dark_params, class_model_dir,
         images, image_indices, boxes_xy, classes)
     y_hat = combine_y_hat(
         images, dark_y_hat, class_y_hat, image_indices, boxes_xy, dark_params)
+    return y_hat, output_images
+
+
+def _dark_class_pred_fused(images, dark_model_dir, dark_params,
+                           class_model_dir, class_params, restore_file,
+                           max_crops=16, conf_th=0.5):
+    """Fused two-stage pipeline: one device program per batch.
+
+    Same return contract as `dark_class_pred` (combined y_hat grid +
+    annotated images); see its docstring for the deviations.
+    """
+    import cv2
+
+    from .data.loader import center_rgb
+    from .ops.boxes import combine_y_hat
+    from .ops.crop import crop_resize_bilinear
+
+    det_model, det_vars, mesh = restore_variables(
+        dark_params, dark_model_dir, restore_file)
+    cls_model, cls_vars, _ = restore_variables(
+        class_params, class_model_dir, restore_file)
+    size = model_input_shape(dark_params)[0]
+    ci = int(class_params.get("capsule_input", 32))
+    nb, nc = int(dark_params.n_boxes), int(dark_params.n_classes)
+    image_hw = np.array([im.shape[:2] for im in images])
+
+    x = np.stack(
+        [cv2.resize(im, (size, size)) for im in images]).astype(np.float32)
+
+    def fused(dv, cv, xb):
+        y = det_model.apply(dv, xb, train=False).astype(jnp.float32)
+        d = decode_ops.decode_grid(
+            y, n_classes=nc, n_boxes=nb, img_size=size,
+            max_boxes=max_crops, conf_th=conf_th)
+        crops = crop_resize_bilinear(xb, d["xy"], ci, valid=d["valid"])
+        b, m = crops.shape[:2]
+        flat = center_rgb(crops.reshape(b * m, ci, ci, -1))
+        scores = cls_model.apply(cv, flat, train=False)
+        return y, d, scores.astype(jnp.float32).reshape(b, m, -1)
+
+    step = jax.jit(fused)
+    bs = int(dark_params.batch_size)
+    ys, ds, scs = [], [], []
+    for i in range(0, x.shape[0], bs):
+        xb = jnp.asarray(x[i: i + bs])
+        if mesh is not None:
+            xb = par.place_batch(xb, mesh)
+        y, d, sc = step(det_vars, cls_vars, xb)
+        ys.append(y)
+        ds.append(d)
+        scs.append(sc)
+    y_hat = np.concatenate([np.asarray(y) for y in ys], axis=0)
+    decoded = {k: np.concatenate([np.asarray(d[k]) for d in ds], axis=0)
+               for k in ds[0]}
+    scores = np.concatenate([np.asarray(s) for s in scs], axis=0)
+
+    image_indices, boxes_xy, _ = decode_ops.to_flat_host(
+        decoded, image_hw=image_hw, img_size=size, with_classes=True)
+    valid = np.asarray(decoded["valid"], bool)
+    class_y_hat = scores[valid]  # to_flat_host's flattening order
+    classes = (np.argmax(class_y_hat, axis=1)
+               if class_y_hat.shape[0] else np.zeros(0, np.int64))
+    output_images, _ = viz.draw_boxes_vec(
+        images, image_indices, boxes_xy, classes)
+    y_hat = combine_y_hat(
+        images, y_hat, class_y_hat, image_indices, boxes_xy, dark_params)
     return y_hat, output_images
 
 

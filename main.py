@@ -60,6 +60,12 @@ parser.add_argument('--routing', default='auto',
                          '(auto = pallas on TPU, xla elsewhere)')
 parser.add_argument('--nms', default=False, action='store_true',
                     help='enable on-device NMS in predict (extension; reference has none)')
+parser.add_argument('--device_crop', default=False, action='store_true',
+                    help='--combine only: fuse detect->crop->classify into '
+                         'one device program (ops/crop.py; crops sampled '
+                         'from the resized network input, static top-16 '
+                         'per image — COMPAT #33). Default off = the '
+                         'reference host composition')
 parser.add_argument('--mesh', default='auto',
                     help="device mesh: auto | off | data=N[,model=M] "
                          "(auto = all local devices data-parallel when >1; "
@@ -283,7 +289,7 @@ def main():
                                        with_writer=False)
             y_hat, output = dark_class_pred(
                 x, model_dir, params, class_model_dir, class_params,
-                args.restore)
+                args.restore, device_crop=args.device_crop)
 
             save_dir = model_dir + '/combine-{}_mAP'.format(args.combine)
             os.makedirs(save_dir, exist_ok=True)

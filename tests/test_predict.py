@@ -3,6 +3,8 @@ scripts/smoke_e2e.sh).  Covers checkpoint restore, jit forward, the
 on-device decode -> host flattening, crops, and the zero-detection
 edge case that crashes naive implementations."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -127,3 +129,52 @@ def test_draw_boxes_clips_edge_crops():
     assert crops[1].shape == (5, 5, 3)
     np.testing.assert_array_equal(crops[1], img[15:20, 15:20])
     np.testing.assert_array_equal(crops[2], img[4:8, 4:8])
+
+
+def test_dark_class_pred_device_crop_matches_host_path(tmp_path, rng):
+    """Fused --device_crop two-stage path (COMPAT #33) vs the host
+    composition, on frames already at network size (so the two paths'
+    crop sources coincide and only the documented deviations remain:
+    device bilinear vs cv2-on-uint8 rounding, static max_crops at full
+    width here)."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+        dark_class_pred,
+    )
+
+    dark_params = Params(
+        model="darknet_r", n_classes=43, n_boxes=1, n_grid=2,
+        darknet_input=64, capsule_input=32, batch_size=4,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, dropout=0.0,
+        l_coord=5.0, l_noobj=0.5,
+    )
+    class_params = Params(
+        model="cnn", n_classes=43, capsule_input=32, batch_size=8,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, dropout=0.0,
+    )
+    ddir = str(tmp_path / "dark")
+    cdir = str(tmp_path / "cls")
+    for p, d in ((dark_params, ddir), (class_params, cdir)):
+        os.makedirs(d)
+        trainer = Trainer(p, verbose=False)
+        ckpt.save_checkpoint(trainer.state_dict(1, None), is_best=False,
+                             checkpoint_dir=d)
+
+    images = [(rng.rand(64, 64, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+
+    y_host, out_host = dark_class_pred(
+        images, ddir, dark_params, cdir, class_params, "last")
+    # full-width max_crops = g*g*B so the static cap drops nothing
+    y_dev, out_dev = dark_class_pred(
+        images, ddir, dark_params, cdir, class_params, "last",
+        device_crop=True, max_crops=2 * 2 * 1)
+
+    assert y_dev.shape == y_host.shape
+    assert len(out_dev) == len(out_host)
+    # detector channels are identical (same forward); classifier
+    # channels differ only by uint8-slice-vs-f32-sample crop rounding
+    np.testing.assert_allclose(y_dev[..., :5], y_host[..., :5],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_dev, y_host, rtol=0.1, atol=0.05)
