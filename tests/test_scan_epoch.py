@@ -189,11 +189,17 @@ def test_explicit_scan_with_stream_warns_and_streams(capsys):
     dataset --stream exists to avoid, so the streamed per-batch loop
     runs and an explicit 'on' says so (auto falls back silently)."""
     p = _params("cnn", 8, "on", stream=True)
-    t = Trainer(p, seed=0, verbose=False)
+    t = Trainer(p, seed=0, verbose=True)
     assert t.scan_epoch is False and t.stream is True
     assert "[scan_epoch] ignored" in capsys.readouterr().out
 
+    # the notice respects verbose=False like every other driver
+    # diagnostic (ADVICE r2) — programmatic runs stay silent
+    t1q = Trainer(p, seed=0, verbose=False)
+    assert t1q.scan_epoch is False
+    assert "[scan_epoch]" not in capsys.readouterr().out
+
     p2 = _params("cnn", 8, "auto", stream=True)
-    t2 = Trainer(p2, seed=0, verbose=False)
+    t2 = Trainer(p2, seed=0, verbose=True)
     assert t2.scan_epoch is False
     assert "[scan_epoch]" not in capsys.readouterr().out
