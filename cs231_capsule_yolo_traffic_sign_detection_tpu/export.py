@@ -122,10 +122,36 @@ def make_grid_fn(model, variables, *, dtype=jnp.float32):
     return fn
 
 
+def _two_stage_tail(x, y, *, cls_model, cls_vars, n_boxes, n_classes,
+                    img_size, cap_input, max_crops, conf_th, use_nms,
+                    with_grid):
+    """Shared decode -> crop -> classify tail of the fused two-stage
+    program (one implementation for every detector dtype variant)."""
+    from .data.loader import center_rgb
+    from .ops import decode as decode_ops
+    from .ops.crop import crop_resize_bilinear
+
+    d = decode_ops.decode_grid(
+        y, n_classes=n_classes, n_boxes=n_boxes, img_size=img_size,
+        max_boxes=max_crops, conf_th=conf_th)
+    if use_nms:
+        d = dict(d)
+        d["valid"] = decode_ops.nms_mask(d["xy"], d["conf"], d["valid"])
+    crops = crop_resize_bilinear(x, d["xy"], cap_input, valid=d["valid"])
+    b, m = crops.shape[:2]
+    flat = center_rgb(crops.reshape(b * m, cap_input, cap_input, -1))
+    scores = cls_model.apply(cls_vars, flat, train=False)
+    scores = scores.astype(jnp.float32).reshape(b, m, -1)
+    out = dict(d, class_scores=scores)
+    if with_grid:
+        out["grid"] = y
+    return out
+
+
 def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
                       n_boxes, n_classes, img_size, cap_input=32,
                       max_crops=16, conf_th=0.5, use_nms=False,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, with_grid=False):
     """Fused two-stage serving fn: detect -> crop -> classify, ONE program.
 
     The TPU-native composition of the reference's flagship demo
@@ -135,35 +161,58 @@ def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
     (ops/crop.py — cv2-parity sampling), centered, and classified — no
     host round-trip between the stages (measured at ~40% of the host
     pipeline's non-link time, BASELINE.md).  Returns the decode dict
-    plus `class_scores` (B, max_crops, n_classes).
+    plus `class_scores` (B, max_crops, n_classes); `with_grid` adds the
+    raw detector grid under "grid" (the CLI combine path needs it for
+    combine_y_hat).
+
+    `dtype` runs the detector in f32 or bf16 (classifier stays f32 —
+    its share of the pipeline is tiny); for the int8-resident detector
+    use `make_int8_two_stage_fn`.
 
     DEVIATION (opt-in; the product `--combine` path is unchanged):
     crops are sampled from the img_size input, not the original
     full-resolution frame, and only the top max_crops (an explicit
-    static cap) are classified.  COMPAT.md #31.
+    static cap) are classified.  COMPAT.md #33.
     """
-    from .data.loader import center_rgb
-    from .ops import decode as decode_ops
-    from .ops.crop import crop_resize_bilinear
-
     det_vars = _cast_variables(det_vars, dtype)
+    tail = dict(cls_model=cls_model, cls_vars=cls_vars, n_boxes=n_boxes,
+                n_classes=n_classes, img_size=img_size,
+                cap_input=cap_input, max_crops=max_crops, conf_th=conf_th,
+                use_nms=use_nms, with_grid=with_grid)
 
     def fn(x):
         y = det_model.apply(det_vars, x.astype(dtype), train=False)
-        y = y.astype(jnp.float32)
-        d = decode_ops.decode_grid(
-            y, n_classes=n_classes, n_boxes=n_boxes, img_size=img_size,
-            max_boxes=max_crops, conf_th=conf_th)
-        if use_nms:
-            d = dict(d)
-            d["valid"] = decode_ops.nms_mask(d["xy"], d["conf"], d["valid"])
-        crops = crop_resize_bilinear(x, d["xy"], cap_input,
-                                     valid=d["valid"])
-        b, m = crops.shape[:2]
-        flat = center_rgb(crops.reshape(b * m, cap_input, cap_input, -1))
-        scores = cls_model.apply(cls_vars, flat, train=False)
-        scores = scores.astype(jnp.float32).reshape(b, m, -1)
-        return dict(d, class_scores=scores)
+        return _two_stage_tail(x, y.astype(jnp.float32), **tail)
+
+    return fn
+
+
+def make_int8_two_stage_fn(qparams, cls_model, cls_vars, *,
+                           n_boxes, n_classes, img_size, cap_input=32,
+                           max_crops=16, conf_th=0.5, use_nms=False,
+                           with_grid=False):
+    """Fused two-stage serving fn over the int8-resident detector.
+
+    Same contract and deviations as `make_two_stage_fn`, but the
+    detector stage is the calibrated int8 chain
+    (`ops.quant.darknet_int8_resident_apply`, the measured serving
+    champion — BASELINE.md); the classifier runs f32.  The int8
+    weights, per-channel weight scales, and static activation scales
+    are closed over, so they bake into an exported artifact exactly
+    like `make_int8_detector_fn`'s.
+    """
+    from .ops import quant
+
+    tail = dict(cls_model=cls_model, cls_vars=cls_vars, n_boxes=n_boxes,
+                n_classes=n_classes, img_size=img_size,
+                cap_input=cap_input, max_crops=max_crops, conf_th=conf_th,
+                use_nms=use_nms, with_grid=with_grid)
+
+    def fn(x):
+        y = quant.darknet_int8_resident_apply(
+            qparams, x.astype(jnp.float32),
+            n_boxes=n_boxes, n_classes=n_classes)
+        return _two_stage_tail(x, y, **tail)
 
     return fn
 
@@ -270,6 +319,57 @@ def export_from_checkpoint(params, model_dir, restore_file, *,
             model, variables, n_boxes=int(params.n_boxes),
             n_classes=int(params.n_classes), img_size=shape[0],
             conf_th=conf_th, use_nms=use_nms, dtype=dtype)
+    return export_serving(fn, shape, batch=batch, platforms=platforms), fn
+
+
+def export_two_stage_from_checkpoints(dark_params, dark_model_dir,
+                                      class_params, class_model_dir,
+                                      restore_file, *, batch=None,
+                                      max_crops=16, conf_th=0.5,
+                                      use_nms=False, dtype=jnp.float32,
+                                      platforms=None, x_cal=None):
+    """Restore detector + classifier checkpoints and export the fused
+    two-stage pipeline (detect -> crop -> classify) as ONE artifact.
+
+    The exported program is exactly what `main.py --combine …
+    --device_crop` serves (predict._dark_class_pred_fused builds the
+    same fn).  dtype "int8" exports the calibrated int8-resident
+    detector chain and needs `x_cal` (a representative (B, S, S, 3)
+    batch); f32/bf16 cast the detector weights.  The classifier always
+    runs f32.
+    """
+    from .predict import restore_variables
+    from .train.driver import model_input_shape
+
+    if str(dtype) == "int8":
+        if dark_params.model not in ("darknet_d", "darknet_r"):
+            raise ValueError(
+                "int8 two-stage export is defined for the DarkNet "
+                f"detectors only (got model={dark_params.model!r})")
+        if x_cal is None:
+            raise ValueError(
+                "int8 two-stage export needs a calibration batch: pass "
+                "x_cal= (a representative (B, S, S, 3) input batch)")
+
+    det_model, det_vars, _ = restore_variables(
+        dark_params, dark_model_dir, restore_file)
+    cls_model, cls_vars, _ = restore_variables(
+        class_params, class_model_dir, restore_file)
+    shape = model_input_shape(dark_params)
+    common = dict(
+        n_boxes=int(dark_params.n_boxes),
+        n_classes=int(dark_params.n_classes), img_size=shape[0],
+        cap_input=int(class_params.get("capsule_input", 32)),
+        max_crops=max_crops, conf_th=conf_th, use_nms=use_nms)
+    if str(dtype) == "int8":
+        from .ops import quant
+
+        qparams = quant.quantize_darknet(det_vars,
+                                         x_cal=jnp.asarray(x_cal))
+        fn = make_int8_two_stage_fn(qparams, cls_model, cls_vars, **common)
+    else:
+        fn = make_two_stage_fn(det_model, det_vars, cls_model, cls_vars,
+                               dtype=dtype, **common)
     return export_serving(fn, shape, batch=batch, platforms=platforms), fn
 
 

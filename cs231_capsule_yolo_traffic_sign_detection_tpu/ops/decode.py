@@ -37,6 +37,10 @@ def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=None, conf_th=0.5)
       xy:      (batch, max_boxes, 4) corner boxes in img_size frame.
       classes: (batch, max_boxes) int32 argmax class (0 if C==0).
       valid:   (batch, max_boxes) bool, conf > conf_th.
+      idx:     (batch, max_boxes) int32 original candidate index in
+               row-major (row, col, box) grid order — the reference's
+               np.argwhere emission order (utils.py:313); to_flat_host
+               uses it to restore that order on the host.
 
     Numerics match the host reference (utils.py:288-334): denormalize
     center to cell offset + cell index, w/h to image scale, cwh->xy.
@@ -83,11 +87,14 @@ def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=None, conf_th=0.5)
         out_xy = jnp.pad(out_xy, ((0, 0), (0, pad), (0, 0)))
         out_cls = jnp.pad(out_cls, ((0, 0), (0, pad)))
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
 
-    return {"conf": top_conf, "xy": out_xy, "classes": out_cls, "valid": valid}
+    return {"conf": top_conf, "xy": out_xy, "classes": out_cls,
+            "valid": valid, "idx": top_idx.astype(jnp.int32)}
 
 
-def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True):
+def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True,
+                 extras=None):
     """Convert fixed-size device output to the reference's flat lists.
 
     Args:
@@ -97,30 +104,55 @@ def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True):
         behavior of denormalizing directly into each image's frame,
         utils.py:320-325).
       img_size: network input size (needed when image_hw given).
+      extras: optional dict of extra (batch, max_boxes, ...) arrays to
+        flatten in the SAME box order (e.g. the fused two-stage path's
+        per-slot classifier scores).
 
     Returns (image_indices, xy, classes_or_None) exactly like
-    `ops.boxes.y_to_boxes_vec`.
+    `ops.boxes.y_to_boxes_vec`; with `extras`, a dict of flattened
+    extras is appended as a fourth element.
+
+    Per-image box order is the reference's np.argwhere grid-scan order
+    (row, col, box — utils.py:313), restored from decode_grid's `idx`
+    (the device output is confidence-sorted by top_k).  Order matters
+    downstream: the two-stage crops feed combine_y_hat, whose same-cell
+    writes are last-wins (utils.py:336-351).
     """
     conf = np.asarray(decoded["conf"])
     xy = np.asarray(decoded["xy"])
     cls = np.asarray(decoded["classes"])
     valid = np.asarray(decoded["valid"])
+    idx = np.asarray(decoded["idx"]) if "idx" in decoded else None
+    extras = {k: np.asarray(v) for k, v in (extras or {}).items()}
 
     img_idx, boxes, classes = [], [], []
+    extras_out = {k: [] for k in extras}
     for i in range(conf.shape[0]):
         m = valid[i]
-        b = xy[i][m]
+        order = (np.argsort(idx[i][m]) if idx is not None
+                 else np.arange(int(m.sum())))
+        b = xy[i][m][order]
         if image_hw is not None:
             hscale = image_hw[i][0] / img_size
             wscale = image_hw[i][1] / img_size
             b = b * np.array([wscale, hscale, wscale, hscale])
         img_idx.append(np.full(b.shape[0], i, dtype=np.int64))
         boxes.append(b)
-        classes.append(cls[i][m])
+        classes.append(cls[i][m][order])
+        for k, arr in extras.items():
+            extras_out[k].append(arr[i][m][order])
     image_indices = np.concatenate(img_idx) if img_idx else np.zeros(0, np.int64)
     xy_out = np.concatenate(boxes) if boxes else np.zeros((0, 4))
     cls_out = np.concatenate(classes) if classes else np.zeros(0, np.int64)
-    return image_indices, xy_out, (cls_out if with_classes else None)
+    out = (image_indices, xy_out, (cls_out if with_classes else None))
+    if extras:
+        flat_extras = {
+            k: (np.concatenate(v) if v
+                else np.zeros((0,) + extras[k].shape[2:], extras[k].dtype))
+            for k, v in extras_out.items()
+        }
+        return out + (flat_extras,)
+    return out
 
 
 def nms_mask(xy, conf, valid, iou_th=0.5):

@@ -21,6 +21,7 @@ placement comes purely from the shardings of their inputs, the
 idiomatic jit/GSPMD pattern.
 """
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -83,8 +84,15 @@ def gather_replicated(x, mesh: Mesh):
     """
     if mesh is None or jax.process_count() == 1:
         return x
-    repl = NamedSharding(mesh, P())
-    return jax.jit(lambda a: a, out_shardings=repl)(x)
+    return _replicated_identity(NamedSharding(mesh, P()))(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicated_identity(repl: NamedSharding):
+    """Jitted identity with a replicated out-sharding, cached per
+    sharding: a fresh `jax.jit(lambda ...)` per call would defeat the
+    jit cache (new function identity) and retrace every metric epoch."""
+    return jax.jit(lambda a: a, out_shardings=repl)
 
 
 def process_batch_slice(n_global: int, process_index=None, process_count=None):

@@ -103,8 +103,19 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     import cv2
 
     model, variables, mesh = restore_variables(params, model_dir, restore_file)
-    use_int8 = str(params.get("compute_dtype", "float32")).lower() == "int8"
-    if not use_int8:
+    dtype_s = str(params.get("compute_dtype", "float32")).lower()
+    use_int8 = dtype_s == "int8"
+    if dtype_s == "bfloat16":
+        # honor --dtype bfloat16 on the serving path like the exported
+        # artifact does (export.make_detector_fn): bf16 weights + input,
+        # f32 grid out.  Previously only int8 engaged here and bf16
+        # silently served f32.
+        from .export import _cast_variables
+
+        variables = _cast_variables(variables, jnp.bfloat16)
+        step = jax.jit(lambda v, xb: model.apply(
+            v, xb.astype(jnp.bfloat16), train=False).astype(jnp.float32))
+    elif not use_int8:
         step = make_predict_step(model)
 
     image_hw = np.array([image.shape[0:2] for image in images])
@@ -248,13 +259,17 @@ def _dark_class_pred_fused(images, dark_model_dir, dark_params,
     """Fused two-stage pipeline: one device program per batch.
 
     Same return contract as `dark_class_pred` (combined y_hat grid +
-    annotated images); see its docstring for the deviations.
+    annotated images); see its docstring for the deviations.  The
+    program is built by export.make_two_stage_fn /
+    make_int8_two_stage_fn — the SAME composition the exported artifact
+    serves — so `--dtype bfloat16` runs the detector in bf16 and
+    `--dtype int8` runs the calibrated int8-resident chain (classifier
+    f32 either way), exactly like the single-stage dark_pred path.
     """
     import cv2
 
-    from .data.loader import center_rgb
+    from . import export as export_mod
     from .ops.boxes import combine_y_hat
-    from .ops.crop import crop_resize_bilinear
 
     det_model, det_vars, mesh = restore_variables(
         dark_params, dark_model_dir, restore_file)
@@ -268,37 +283,56 @@ def _dark_class_pred_fused(images, dark_model_dir, dark_params,
     x = np.stack(
         [cv2.resize(im, (size, size)) for im in images]).astype(np.float32)
 
-    def fused(dv, cv, xb):
-        y = det_model.apply(dv, xb, train=False).astype(jnp.float32)
-        d = decode_ops.decode_grid(
-            y, n_classes=nc, n_boxes=nb, img_size=size,
-            max_boxes=max_crops, conf_th=conf_th)
-        crops = crop_resize_bilinear(xb, d["xy"], ci, valid=d["valid"])
-        b, m = crops.shape[:2]
-        flat = center_rgb(crops.reshape(b * m, ci, ci, -1))
-        scores = cls_model.apply(cv, flat, train=False)
-        return y, d, scores.astype(jnp.float32).reshape(b, m, -1)
+    common = dict(n_boxes=nb, n_classes=nc, img_size=size, cap_input=ci,
+                  max_crops=max_crops, conf_th=conf_th, with_grid=True)
+    dtype_s = str(dark_params.get("compute_dtype", "float32")).lower()
+    if dtype_s == "int8":
+        from .ops import quant
 
-    step = jax.jit(fused)
+        qparams = quant.quantize_darknet(
+            det_vars,
+            x_cal=jnp.asarray(x[: int(dark_params.batch_size)]))
+        if mesh is not None:
+            qparams = jax.device_put(qparams, par.replicated_sharding(mesh))
+        fn = export_mod.make_int8_two_stage_fn(
+            qparams, cls_model, cls_vars, **common)
+    else:
+        dt = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
+        fn = export_mod.make_two_stage_fn(
+            det_model, det_vars, cls_model, cls_vars, dtype=dt, **common)
+    step = jax.jit(fn)
+
     bs = int(dark_params.batch_size)
-    ys, ds, scs = [], [], []
+    outs = []
     for i in range(0, x.shape[0], bs):
         xb = jnp.asarray(x[i: i + bs])
         if mesh is not None:
             xb = par.place_batch(xb, mesh)
-        y, d, sc = step(det_vars, cls_vars, xb)
-        ys.append(y)
-        ds.append(d)
-        scs.append(sc)
-    y_hat = np.concatenate([np.asarray(y) for y in ys], axis=0)
-    decoded = {k: np.concatenate([np.asarray(d[k]) for d in ds], axis=0)
-               for k in ds[0]}
-    scores = np.concatenate([np.asarray(s) for s in scs], axis=0)
+        outs.append(step(xb))
+    y_hat = np.concatenate([np.asarray(o["grid"]) for o in outs], axis=0)
+    scores = np.concatenate(
+        [np.asarray(o["class_scores"]) for o in outs], axis=0)
+    decoded = {k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)
+               for k in ("conf", "xy", "classes", "valid", "idx")}
 
-    image_indices, boxes_xy, _ = decode_ops.to_flat_host(
-        decoded, image_hw=image_hw, img_size=size, with_classes=True)
-    valid = np.asarray(decoded["valid"], bool)
-    class_y_hat = scores[valid]  # to_flat_host's flattening order
+    # the static top-max_crops cap can truncate dense scenes relative
+    # to the host path's full-width decode; the full grid is on host
+    # here, so count and report any overflow instead of dropping it
+    # silently (--max_crops raises the cap)
+    b = y_hat.shape[0]
+    all_conf = y_hat[..., : 5 * nb].reshape(b, -1, 5)[..., 0]
+    n_above = int((all_conf > conf_th).sum())
+    n_kept = int(np.asarray(decoded["valid"]).sum())
+    if n_above > n_kept:
+        print("[device_crop] {} above-threshold detections exceed the "
+              "static cap (max_crops={}, kept {}); pass a larger "
+              "--max_crops to classify them all".format(
+                  n_above - n_kept, max_crops, n_kept))
+
+    image_indices, boxes_xy, _, flat_extras = decode_ops.to_flat_host(
+        decoded, image_hw=image_hw, img_size=size, with_classes=True,
+        extras={"scores": scores})
+    class_y_hat = flat_extras["scores"]  # to_flat_host's box order
     classes = (np.argmax(class_y_hat, axis=1)
                if class_y_hat.shape[0] else np.zeros(0, np.int64))
     output_images, _ = viz.draw_boxes_vec(

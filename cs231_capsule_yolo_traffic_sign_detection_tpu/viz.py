@@ -19,7 +19,11 @@ def _class_names():
     path = config.GTSDB + "/class_names.txt"
     if path not in _CLASS_NAMES_CACHE:
         if os.path.exists(path):
-            names = np.loadtxt(path, dtype=str, delimiter="\n")
+            # one name per line (reference plot.py:19 used
+            # np.loadtxt(delimiter='\n'), which numpy 2.x rejects)
+            with open(path) as f:
+                names = np.array(
+                    [ln.strip() for ln in f if ln.strip()])
         else:
             names = np.array([str(i) for i in range(43)])
         _CLASS_NAMES_CACHE[path] = names

@@ -66,6 +66,11 @@ parser.add_argument('--device_crop', default=False, action='store_true',
                          'from the resized network input, static top-16 '
                          'per image — COMPAT #33). Default off = the '
                          'reference host composition')
+parser.add_argument('--max_crops', default=16, type=int,
+                    help='--device_crop only: static per-image cap on '
+                         'detections fed to the classifier (the host '
+                         'path decodes full-width; dense scenes beyond '
+                         'the cap are reported and need a larger value)')
 parser.add_argument('--mesh', default='auto',
                     help="device mesh: auto | off | data=N[,model=M] "
                          "(auto = all local devices data-parallel when >1; "
@@ -289,7 +294,8 @@ def main():
                                        with_writer=False)
             y_hat, output = dark_class_pred(
                 x, model_dir, params, class_model_dir, class_params,
-                args.restore, device_crop=args.device_crop)
+                args.restore, device_crop=args.device_crop,
+                max_crops=args.max_crops)
 
             save_dir = model_dir + '/combine-{}_mAP'.format(args.combine)
             os.makedirs(save_dir, exist_ok=True)

@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--device_crop", action="store_true",
                     help="fused detect->crop->classify in ONE device "
                          "program (ops/crop.py + export.make_two_stage_fn"
-                         "; COMPAT #31) instead of the host crop hop")
+                         "; COMPAT #33) instead of the host crop hop")
     ap.add_argument("--max_crops", type=int, default=8,
                     help="device_crop: static per-image crop cap")
     ap.add_argument("--size", type=int, default=448,
@@ -240,8 +240,13 @@ def main():
         t["detect_d2h"] = time.perf_counter() - t0  # the fetch itself
 
         t0 = time.perf_counter()
-        image_indices, boxes_xy, classes0 = decode_ops.to_flat_host(
-            decoded, image_hw=image_hw, img_size=SIZE, with_classes=True)
+        if args.device_crop:
+            image_indices, boxes_xy, classes0, _flat = decode_ops.to_flat_host(
+                decoded, image_hw=image_hw, img_size=SIZE,
+                with_classes=True, extras={"scores": scores})
+        else:
+            image_indices, boxes_xy, classes0 = decode_ops.to_flat_host(
+                decoded, image_hw=image_hw, img_size=SIZE, with_classes=True)
         if args.device_crop:
             # annotation still happens (product behavior); the crops
             # were classified ON DEVICE inside the fused program
@@ -262,10 +267,9 @@ def main():
 
         t0 = time.perf_counter()
         if args.device_crop:
-            # flatten the fused per-box scores in to_flat_host's order
-            valid = np.asarray(decoded["valid"], bool)
-            class_y_hat = scores[valid]
-            n_crops_run = int(valid.sum())
+            # fused per-box scores, flattened in to_flat_host's order
+            class_y_hat = _flat["scores"]
+            n_crops_run = class_y_hat.shape[0]
         else:
             if crops.shape[0]:
                 outs = []

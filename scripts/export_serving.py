@@ -47,6 +47,14 @@ def main():
                          "(B, S, S, 3) calibration batch (default: "
                          "first test batch, synthetic fallback)")
     ap.add_argument("--conf_th", type=float, default=0.5)
+    ap.add_argument("--combine", default=None,
+                    help="cnn | capsule: export the FUSED two-stage "
+                         "pipeline (detect -> crop -> classify, "
+                         "COMPAT #33) as one artifact; composes with "
+                         "--dtype int8/bfloat16 (int8-resident "
+                         "detector, f32 classifier)")
+    ap.add_argument("--max_crops", type=int, default=16,
+                    help="--combine: static per-image crop cap")
     ap.add_argument("--nms", action="store_true",
                     help="bake on-device NMS into the artifact")
     ap.add_argument("--platforms", default=None,
@@ -118,10 +126,28 @@ def main():
             x_cal = x_cal[: int(params.batch_size)]
         print(f"[export] int8 calibration batch: {x_cal.shape}")
 
-    blob, fn = export.export_from_checkpoint(
-        params, model_dir, args.restore, batch=args.batch,
-        conf_th=args.conf_th, use_nms=args.nms, dtype=dtype,
-        platforms=platforms, x_cal=x_cal)
+    if args.combine:
+        if args.combine not in ("cnn", "capsule"):
+            ap.error("--combine must be cnn or capsule")
+        if args.model not in ("darknet_d", "darknet_r"):
+            ap.error("--combine exports the two-stage pipeline for the "
+                     "DarkNet detectors only")
+        cls_model_dir = get_data_and_model_dir(args.combine)[1]
+        cls_ns = main_mod.parser.parse_args([])
+        cls_ns.model = args.combine
+        cls_ns.train_frac = args.train_frac
+        cls_ns.mesh = "off"
+        cls_params = load_params(cls_model_dir, cls_ns, with_writer=False)
+        blob, fn = export.export_two_stage_from_checkpoints(
+            params, model_dir, cls_params, cls_model_dir, args.restore,
+            batch=args.batch, max_crops=args.max_crops,
+            conf_th=args.conf_th, use_nms=args.nms, dtype=dtype,
+            platforms=platforms, x_cal=x_cal)
+    else:
+        blob, fn = export.export_from_checkpoint(
+            params, model_dir, args.restore, batch=args.batch,
+            conf_th=args.conf_th, use_nms=args.nms, dtype=dtype,
+            platforms=platforms, x_cal=x_cal)
 
     out = args.out or os.path.join(model_dir, "serving.stablehlo")
     export.save(blob, out)

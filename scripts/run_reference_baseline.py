@@ -19,6 +19,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
@@ -93,6 +95,143 @@ def prepare_reference_workdir(work, n_train=512, n_eval=64, n_epochs=1,
             "torch.Tensor.view = _view\n")
 
     return dict(os.environ, PYTHONPATH=work + "/stubs:" + REF)
+
+
+def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
+                                      params_json=None, combine=None,
+                                      capture=True):
+    """Extend a scratch workdir so the reference's `--mode predict`
+    runs (reference main.py:293-374): synthetic GTSDB test split, raw
+    PNG frames + test_names.npy (predict rebuilds x from raw frames,
+    main.py:305-306), class_names.txt (plot.py:18-19), and — when
+    `capture` — a sitecustomize spy that records the reference's
+    predict-time y_hat grid and decoded boxes (first two
+    utils.y_to_boxes_vec calls: dark_pred's y_hat then ground truth,
+    predict_fns.py:46-51) plus the combine_y_hat tensors, all WITHOUT
+    copying or modifying any reference code.
+
+    The same data files are what our framework's predict mode reads, so
+    one call prepares either side's workdir; checkpoints are placed by
+    the caller (ours as experiments/<model>/last.ckpt, the reference's
+    as last.pth.tar via interop.export_torch_checkpoint).
+
+    Returns the env dict for run_reference.
+    """
+    import cv2
+
+    env = prepare_reference_workdir(
+        work, n_train=4, n_eval=4, n_epochs=1,
+        params_json=params_json, model=model)
+
+    with open(work + f"/experiments/{model}/params.json") as f:
+        cfg = json.load(f)
+    p = Params(model=model, n_classes=cfg["n_classes"],
+               **{k: cfg[k] for k in
+                  ("n_boxes", "n_grid", "darknet_input") if k in cfg})
+    _, _, x_te, y_te = synthetic_dataset(model, p, n_train=2, n_eval=n_test)
+    with open(work + "/data/GTSDB/test.p", "wb") as f:
+        pickle.dump((x_te, y_te), f)
+
+    # raw full-frame uint8 images: reconstructed from the centered test
+    # tensors, written losslessly (PNG) so both frameworks cv2.imread
+    # identical arrays; a size rotation exercises the image_hw rescale
+    raw_dir = work + "/data/GTSDB/raw_GTSDB"
+    os.makedirs(raw_dir, exist_ok=True)
+    frames = (x_te * 128.0 + 128.0).clip(0, 255).astype("uint8")
+    size = int(cfg.get("darknet_input", 64))
+    hw_cycle = [(size, size), (size + size // 2, size), (size, size * 2)]
+    names = []
+    for i, fr in enumerate(frames):
+        h, w = hw_cycle[i % len(hw_cycle)]
+        img = fr if (h, w) == fr.shape[:2] else cv2.resize(fr, (w, h))
+        name = "im{:03d}.png".format(i)
+        cv2.imwrite(os.path.join(raw_dir, name), img)
+        names.append(name)
+    np.save(work + "/data/GTSDB/test_names.npy", np.array(names))
+    with open(work + "/data/GTSDB/class_names.txt", "w") as f:
+        f.write("\n".join(
+            "sign_{:02d}".format(c) for c in range(cfg["n_classes"] or 43)))
+
+    if combine:
+        cdir = work + "/experiments/" + combine
+        os.makedirs(cdir, exist_ok=True)
+        with open(cdir + "/params.json", "w") as f:
+            json.dump({"batch_size": 8, "n_classes": 43, "lr": 1e-3,
+                       "n_epochs": 1, "dropout": 0.0, "lr_decay": 0.1},
+                      f)
+
+    with open(work + "/stubs/sitecustomize.py", "a") as f:
+        f.write(_NUMPY2_COMPAT)
+        if capture:
+            f.write(_CAPTURE_HOOK)
+    return env
+
+
+# numpy 2.x rejects loadtxt(delimiter='\\n'), which the reference uses
+# to read class_names.txt one-entry-per-line (plot.py:19).  Dropping
+# the delimiter restores numpy 1.x's effective behavior for those files
+# (names contain no whitespace).  Environment compat only — same class
+# of shim as the torch-0.4 .view fallback above.
+_NUMPY2_COMPAT = """
+import numpy as _np_compat
+
+_orig_loadtxt = _np_compat.loadtxt
+
+
+def _loadtxt_nl(*a, **k):
+    if k.get("delimiter") in ("\\n", "\\r"):
+        k.pop("delimiter")
+    return _orig_loadtxt(*a, **k)
+
+
+_np_compat.loadtxt = _loadtxt_nl
+"""
+
+
+# Spy appended to the torch-0.4 compat sitecustomize for predict-parity
+# runs: wraps two reference utils functions to dump their tensors into
+# the cwd.  Pure observation — inputs/outputs pass through untouched.
+_CAPTURE_HOOK = """
+import os as _os
+import numpy as _np
+import utils as _u
+
+_orig_ytb = _u.y_to_boxes_vec
+_ytb_calls = [0]
+
+
+def _spy_ytb(y, params, image_hw=None, conf_th=0.5):
+    out = _orig_ytb(y, params, image_hw=image_hw, conf_th=conf_th)
+    if _ytb_calls[0] < 2:  # dark_pred's y_hat + ground-truth calls only
+        cls = out[2] if out[2] is not None else _np.zeros(0)
+        _np.savez(_os.path.join(_os.getcwd(),
+                                "ref_decode_%d.npz" % _ytb_calls[0]),
+                  y=_np.asarray(y, _np.float32), idx=out[0], xy=out[1],
+                  cls=_np.asarray(cls))
+    _ytb_calls[0] += 1
+    return out
+
+
+_u.y_to_boxes_vec = _spy_ytb
+
+_orig_comb = _u.combine_y_hat
+
+
+def _spy_comb(images, dark_y_hat, class_y_hat, image_indices, boxes_xy,
+              params):
+    out = _orig_comb(images, dark_y_hat, class_y_hat, image_indices,
+                     boxes_xy, params)
+    _np.savez(_os.path.join(_os.getcwd(), "ref_combine.npz"),
+              dark_y_hat=_np.asarray(dark_y_hat, _np.float32),
+              class_y_hat=_np.asarray(class_y_hat, _np.float32),
+              image_indices=_np.asarray(image_indices),
+              boxes_xy=_np.asarray(boxes_xy),
+              combined=_np.asarray(out, _np.float32))
+    return out
+
+
+_u.combine_y_hat = _spy_comb
+"""
 
 
 def run_reference(work, env, model="cnn", mode="train", extra_args=(),

@@ -252,7 +252,7 @@ def test_int8_export_requires_calibration(tmp_path):
 
 
 def test_two_stage_fused_roundtrip(tmp_path):
-    """Fused detect->crop->classify program (COMPAT #31): artifact
+    """Fused detect->crop->classify program (COMPAT #33): artifact
     round-trip + the classifier scores must equal composing the stages
     by hand on device."""
     from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (
@@ -295,3 +295,56 @@ def test_two_stage_fused_roundtrip(tmp_path):
                                np.asarray(want), rtol=1e-5, atol=1e-5)
     # masked (invalid) detections produce the all-zero-crop scores
     assert got["class_scores"].shape == (2, 4, 43)
+
+
+def test_int8_two_stage_fused_roundtrip(tmp_path):
+    """int8-resident detector composed with the fused two-stage program
+    (VERDICT r3 item 3): artifact round-trip, and the int8 detector
+    grid inside the fused program must be bit-identical to the
+    standalone int8-resident chain."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+
+    det = DarkNet(n_boxes=1, n_classes=43, dropout=0.0)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    dvars = det.init(jax.random.PRNGKey(0), x0, train=False)
+    cls = ConvNet(n_classes=43, dropout=0.0)
+    cvars = cls.init(jax.random.PRNGKey(1),
+                     jnp.zeros((2, 32, 32, 3), jnp.float32), train=False)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                    .astype(np.float32) * 255.0)
+    q = quant.quantize_darknet(dvars, x_cal=x)
+    fn = export.make_int8_two_stage_fn(
+        q, cls, cvars, n_boxes=1, n_classes=43, img_size=64,
+        max_crops=4, conf_th=0.2, with_grid=True)
+
+    blob = export.export_serving(fn, (64, 64, 3), batch=2)
+    serve = export.load_serving(export.save(
+        blob, str(tmp_path / "two_stage_int8.stablehlo")))
+    assert export.selfcheck(serve, fn, (64, 64, 3), batch=2, atol=1e-4)
+
+    got = jax.jit(fn)(x)
+    want_grid = quant.darknet_int8_resident_apply(
+        q, x, n_boxes=1, n_classes=43)
+    np.testing.assert_array_equal(np.asarray(got["grid"]),
+                                  np.asarray(want_grid))
+    assert got["class_scores"].shape == (2, 4, 43)
+
+
+def test_two_stage_export_from_checkpoints_validates_int8():
+    """export_two_stage_from_checkpoints must refuse int8 without x_cal
+    and for non-detector first stages."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+
+    dp = Params(model="darknet_r", n_classes=43, n_boxes=1, n_grid=2,
+                darknet_input=64)
+    cp = Params(model="cnn", n_classes=43, capsule_input=32)
+    with pytest.raises(ValueError, match="calibration"):
+        export.export_two_stage_from_checkpoints(
+            dp, "/nonexistent", cp, "/nonexistent", "last",
+            dtype="int8", x_cal=None)
+    bad = Params(model="cnn", n_classes=43)
+    with pytest.raises(ValueError, match="detectors only"):
+        export.export_two_stage_from_checkpoints(
+            bad, "/nonexistent", cp, "/nonexistent", "last",
+            dtype="int8", x_cal=np.zeros((1, 64, 64, 3), np.float32))

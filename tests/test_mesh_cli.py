@@ -150,3 +150,39 @@ def test_cli_mesh_auto_engages_on_multidevice(model_dirs, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "[mesh] data=8 model=1" in r.stdout, r.stdout[-2000:]
     assert "epoch 1" in r.stdout
+
+
+def test_cli_predict_under_mesh_matches_single_device(tmp_path):
+    """--mode predict --mesh data=8 (VERDICT r3 item 5): weights are
+    replicated, the batch is sharded, and there is NO cross-device
+    reduction anywhere in the serving path — so the detect metrics must
+    equal the single-device predict BYTE-for-byte, not just within a
+    band (predict.py:57-59, _batched_forward)."""
+    d = tmp_path / "dr_pmesh"
+    d.mkdir()
+    (d / "params.json").write_text(json.dumps({
+        "batch_size": 8, "n_classes": 43, "lr": 1e-3, "n_epochs": 1,
+        "dropout": 0.0, "lr_decay": 0.1, "l_coord": 5, "l_noobj": 0.5,
+        "n_boxes": 1, "darknet_input": 64, "n_grid": 2,
+    }))
+    cwd = str(tmp_path)
+    r = _run(["--model", "darknet_r", "--mode", "train", "--no_metric",
+              "--model_dir", str(d), "--mesh", "off"], cwd=cwd)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def read_metrics():
+        with open(os.path.join(str(d), "metric_output.txt")) as f:
+            return f.read()
+
+    r1 = _run(["--model", "darknet_r", "--mode", "predict",
+               "--restore", "last", "--model_dir", str(d),
+               "--mesh", "off"], cwd=cwd)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    single = read_metrics()
+    assert "detect_AP" in single and "detect_acc" in single
+
+    r2 = _run(["--model", "darknet_r", "--mode", "predict",
+               "--restore", "last", "--model_dir", str(d),
+               "--mesh", "data=8"], cwd=cwd)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert read_metrics() == single

@@ -178,3 +178,59 @@ def test_dark_class_pred_device_crop_matches_host_path(tmp_path, rng):
     np.testing.assert_allclose(y_dev[..., :5], y_host[..., :5],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(y_dev, y_host, rtol=0.1, atol=0.05)
+
+
+def test_dark_class_pred_device_crop_int8(tmp_path, rng):
+    """--combine x --device_crop x --dtype int8 (VERDICT r3 item 3 /
+    ADVICE r3 medium): the fused program must actually serve the
+    calibrated int8-resident detector — its grid output equals the host
+    int8 path's (bit-identical chain, same first-batch calibration) —
+    instead of silently falling back to f32."""
+    import jax.numpy as jnp
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+        dark_class_pred, restore_variables,
+    )
+
+    dark_params = Params(
+        model="darknet_r", n_classes=43, n_boxes=1, n_grid=2,
+        darknet_input=64, capsule_input=32, batch_size=4,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, dropout=0.0,
+        l_coord=5.0, l_noobj=0.5, compute_dtype="int8", mesh="off",
+    )
+    class_params = Params(
+        model="cnn", n_classes=43, capsule_input=32, batch_size=8,
+        lr_runtime=1e-3, lr_decay=0.1, n_epochs=1, eval_every=1,
+        train_frac=1, recon=True, recon_coef=5e-4, dropout=0.0,
+        mesh="off",
+    )
+    ddir = str(tmp_path / "dark")
+    cdir = str(tmp_path / "cls")
+    for p, d in ((dark_params, ddir), (class_params, cdir)):
+        os.makedirs(d)
+        q = Params(**{**p.dict, "compute_dtype": "float32"})
+        trainer = Trainer(q, verbose=False)
+        ckpt.save_checkpoint(trainer.state_dict(1, None), is_best=False,
+                             checkpoint_dir=d)
+
+    images = [(rng.rand(64, 64, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+
+    y_fused, out = dark_class_pred(
+        images, ddir, dark_params, cdir, class_params, "last",
+        device_crop=True, max_crops=2 * 2 * 1)
+    assert len(out) == 3
+
+    # reproduce the quantized grid by hand: same calibration source
+    # (first batch of the resized inputs) -> identical int8 chain
+    import cv2
+
+    _, det_vars, _ = restore_variables(dark_params, ddir, "last")
+    x = np.stack([cv2.resize(im, (64, 64)) for im in images]
+                 ).astype(np.float32)
+    qp = quant.quantize_darknet(det_vars, x_cal=jnp.asarray(x[:4]))
+    want = np.asarray(quant.darknet_int8_resident_apply(
+        qp, jnp.asarray(x), n_boxes=1, n_classes=43))
+    np.testing.assert_array_equal(y_fused[..., :5], want[..., :5])

@@ -1,0 +1,320 @@
+"""End-to-end `--mode predict` parity vs the executing torch reference.
+
+VERDICT r3 item 1 — the last uncompared product surface.  Every stage
+of the predict pipeline is parity-tested in isolation elsewhere
+(forwards, decode, metrics, loader); this test runs the COMPOSED
+predict pipeline (reference main.py:293-374: restore -> resize ->
+forward -> y_to_boxes_vec -> metrics -> metric_output.txt) in BOTH
+frameworks with IDENTICAL weights — trained here, moved across with
+interop.export_torch_checkpoint — on identical raw frames, and
+compares:
+
+  * the y_hat grid the detector emits (tolerance: f32 conv noise),
+  * the decoded box list per image (indices exact, coords tolerance,
+    classes exact — including the reference's np.argwhere grid-scan
+    emission ORDER, utils.py:313),
+  * every number in metric_output.txt,
+  * for `--combine cnn`: the combine_y_hat grid write-back
+    (utils.py:336-351) and combine-cnn_metric_output.txt.
+
+Legs: darknet_r (B=1/C=43), darknet_d (B=2/C=0), darknet_r
+--combine cnn.  Reference code is executed in place via subprocess
+(run_reference_baseline machinery) — never copied; its predict-time
+tensors are captured by a sitecustomize spy.  Marked slow (each leg
+trains a tiny model and runs both frameworks; torch CPU side ~1 min).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from run_reference_baseline import (  # noqa: E402
+    prepare_reference_predict_workdir, run_reference,
+)
+
+from cs231_capsule_yolo_traffic_sign_detection_tpu import interop  # noqa: E402
+from cs231_capsule_yolo_traffic_sign_detection_tpu.data.loader import (  # noqa: E402
+    synthetic_dataset,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params  # noqa: E402
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train import (  # noqa: E402
+    checkpoint as ckpt,
+)
+from cs231_capsule_yolo_traffic_sign_detection_tpu.train.driver import (  # noqa: E402
+    ReduceLROnPlateau, Trainer,
+)
+
+pytestmark = pytest.mark.slow
+
+N_TEST = 6
+
+DET_R_CFG = {"batch_size": 8, "n_boxes": 1, "n_grid": 2,
+             "darknet_input": 64, "l_coord": 5.0, "l_noobj": 0.5,
+             "dropout": 0.0, "n_classes": 43, "capsule_input": 32,
+             "lr": 1e-3, "n_epochs": 1, "lr_decay": 0.1}
+DET_D_CFG = dict(DET_R_CFG, n_boxes=2, n_classes=0)
+CLS_CFG = {"batch_size": 8, "n_classes": 43, "dropout": 0.0,
+           "lr": 1e-3, "n_epochs": 1, "lr_decay": 0.1}
+
+
+def _params_from_cfg(model, cfg):
+    base = dict(model=model, lr_runtime=1e-3, eval_every=1, train_frac=1,
+                recon=True, recon_coef=5e-4, routing_impl="xla",
+                mesh="off", compute_dtype="float32", seed=0,
+                capsule_input=32, n_epochs=1)
+    base.update({k: v for k, v in cfg.items() if k != "lr"})
+    return Params(**base)
+
+
+def _train_ours(model, cfg, n_train=32, n_epochs=4):
+    """A few epochs on the deterministic synthetic set: enough that the
+    weights/BN stats are 'real' (not an init draw) without making the
+    leg slow.  Returns (params, trainer-with-trained-state)."""
+    np.random.seed(0)
+    p = _params_from_cfg(model, cfg)
+    x_tr, y_tr, _, _ = synthetic_dataset(model, p, n_train, 8)
+    trainer = Trainer(p, verbose=False)
+    plateau = ReduceLROnPlateau(lr=p.lr_runtime, factor=p.lr_decay)
+    for _ in range(n_epochs):
+        loss, _ = trainer.train_epoch(x_tr, y_tr, plateau.lr,
+                                      metric_on=False)
+        plateau.step(loss)
+    return p, trainer
+
+
+def _run_our_cli(work, model, combine=None):
+    args = ["--model", model, "--mode", "predict", "--restore", "last"]
+    if combine:
+        args += ["--combine", combine]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv = ['main.py'] + %r;"
+        "sys.path.insert(0, %r);"
+        "import main; main.main()" % (args, REPO)
+    )
+    env = dict(os.environ)
+    return subprocess.run([sys.executable, "-c", code], cwd=work, env=env,
+                          capture_output=True, text=True, timeout=1800)
+
+
+def _parse_metric_output(path):
+    with open(path) as f:
+        txt = f.read()
+    out = {}
+    for part in txt.split(", "):
+        if ":" in part:
+            k, v = part.split(":", 1)
+            try:
+                out[k.strip()] = float(v)
+            except ValueError:
+                pass
+    return out
+
+
+def _build_leg(tmp_path_factory, model, cfg, combine=None):
+    tag = model + (combine or "")
+    ref_work = str(tmp_path_factory.mktemp("refpred_" + tag))
+    our_work = str(tmp_path_factory.mktemp("ourpred_" + tag))
+    env = prepare_reference_predict_workdir(
+        ref_work, model=model, params_json=cfg, combine=combine,
+        n_test=N_TEST)
+    prepare_reference_predict_workdir(
+        our_work, model=model, params_json=cfg, combine=combine,
+        n_test=N_TEST, capture=False)
+
+    p, trainer = _train_ours(model, cfg)
+    our_dir = os.path.join(our_work, "experiments", model)
+    os.makedirs(our_dir, exist_ok=True)
+    ckpt.save_checkpoint(trainer.state_dict(4, None), is_best=False,
+                         checkpoint_dir=our_dir)
+    interop.export_torch_checkpoint(
+        os.path.join(our_dir, "last.ckpt"), p,
+        os.path.join(ref_work, "experiments", model, "last.pth.tar"))
+
+    cls_p = None
+    if combine:
+        cls_p, cls_tr = _train_ours(combine, CLS_CFG, n_train=64,
+                                    n_epochs=2)
+        cdir = os.path.join(our_work, "experiments", combine)
+        os.makedirs(cdir, exist_ok=True)
+        ckpt.save_checkpoint(cls_tr.state_dict(2, None), is_best=False,
+                             checkpoint_dir=cdir)
+        interop.export_torch_checkpoint(
+            os.path.join(cdir, "last.ckpt"), cls_p,
+            os.path.join(ref_work, "experiments", combine,
+                         "last.pth.tar"))
+        # the classifier leg's own params.json (reference load_params
+        # reads it for the --combine model, main.py:330-334)
+        with open(os.path.join(our_work, "experiments", combine,
+                               "params.json"), "w") as f:
+            json.dump(CLS_CFG, f)
+
+    extra = ("--restore", "last")
+    if combine:
+        extra += ("--combine", combine)
+    proc = run_reference(ref_work, env, model=model, mode="predict",
+                         extra_args=extra)
+    assert proc.returncode == 0, (proc.stdout[-2000:]
+                                  + proc.stderr[-2000:])
+
+    r = _run_our_cli(our_work, model, combine=combine)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    return dict(ref_work=ref_work, our_work=our_work, params=p,
+                cls_params=cls_p)
+
+
+def _load_raw_images(work):
+    import cv2
+
+    names = np.load(os.path.join(work, "data/GTSDB/test_names.npy"))
+    return [cv2.imread(os.path.join(work, "data/GTSDB/raw_GTSDB", n))
+            for n in names]
+
+
+def _our_predict_arrays(leg, model):
+    """Run OUR predict path in-process (the same dark_pred + decode the
+    CLI drives) to expose the y_hat grid and flat box list."""
+    import jax.numpy as jnp
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import (
+        decode as decode_ops,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+        dark_pred,
+    )
+
+    p = leg["params"]
+    images = _load_raw_images(leg["our_work"])
+    image_hw = np.array([im.shape[:2] for im in images])
+    our_dir = os.path.join(leg["our_work"], "experiments", model)
+    y_hat, _ = dark_pred(images, our_dir, p, "last")
+
+    size = int(p.darknet_input)
+    decoded = decode_ops.decode_grid(
+        jnp.asarray(y_hat), n_classes=int(p.n_classes),
+        n_boxes=int(p.n_boxes), img_size=size, conf_th=0.5)
+    idx, xy, cls = decode_ops.to_flat_host(
+        decoded, image_hw=image_hw, img_size=size,
+        with_classes=int(p.n_classes) != 0)
+    return y_hat, idx, xy, cls
+
+
+def _assert_decode_matches(ref_npz, y_hat, idx, xy, cls):
+    ref = np.load(ref_npz)
+    np.testing.assert_allclose(y_hat, ref["y"], rtol=1e-4, atol=1e-4)
+    assert idx.shape[0] == ref["idx"].shape[0], (
+        "box count mismatch: ours {} vs reference {}".format(
+            idx.shape[0], ref["idx"].shape[0]))
+    np.testing.assert_array_equal(idx, ref["idx"])
+    np.testing.assert_allclose(xy, ref["xy"], rtol=1e-3, atol=5e-2)
+    if cls is not None and ref["cls"].size:
+        np.testing.assert_array_equal(cls, ref["cls"])
+
+
+def _assert_metric_files_match(ref_path, our_path, atol=5e-3):
+    ref_m = _parse_metric_output(ref_path)
+    our_m = _parse_metric_output(our_path)
+    assert set(ref_m) == set(our_m), (ref_m, our_m)
+    assert ref_m, "reference wrote no metrics"
+    for k in ref_m:
+        assert abs(ref_m[k] - our_m[k]) <= atol, (
+            k, ref_m[k], our_m[k], ref_m, our_m)
+
+
+@pytest.fixture(scope="module")
+def leg_darknet_r(tmp_path_factory):
+    return _build_leg(tmp_path_factory, "darknet_r", DET_R_CFG)
+
+
+@pytest.fixture(scope="module")
+def leg_darknet_d(tmp_path_factory):
+    return _build_leg(tmp_path_factory, "darknet_d", DET_D_CFG)
+
+
+@pytest.fixture(scope="module")
+def leg_combine(tmp_path_factory):
+    return _build_leg(tmp_path_factory, "darknet_r", DET_R_CFG,
+                      combine="cnn")
+
+
+def test_darknet_r_predict_end_to_end(leg_darknet_r):
+    leg = leg_darknet_r
+    y_hat, idx, xy, cls = _our_predict_arrays(leg, "darknet_r")
+
+    # grid + predicted boxes vs the reference's captured dark_pred call
+    _assert_decode_matches(
+        os.path.join(leg["ref_work"], "ref_decode_0.npz"),
+        y_hat, idx, xy, cls)
+
+    # ground-truth boxes decode identically too (call 2 in dark_pred)
+    ref_gt = np.load(os.path.join(leg["ref_work"], "ref_decode_1.npz"))
+    assert ref_gt["idx"].shape[0] == N_TEST  # one synthetic sign/frame
+
+    # every number in metric_output.txt (detect_AP, detect_acc)
+    _assert_metric_files_match(
+        os.path.join(leg["ref_work"], "experiments/darknet_r",
+                     "metric_output.txt"),
+        os.path.join(leg["our_work"], "experiments/darknet_r",
+                     "metric_output.txt"))
+
+    # annotated outputs written on both sides, one per test frame
+    assert len(os.listdir(os.path.join(
+        leg["ref_work"], "experiments/darknet_r/output"))) == N_TEST
+    assert len(os.listdir(os.path.join(
+        leg["our_work"], "experiments/darknet_r/output"))) == N_TEST
+
+
+def test_darknet_d_predict_end_to_end(leg_darknet_d):
+    leg = leg_darknet_d
+    y_hat, idx, xy, cls = _our_predict_arrays(leg, "darknet_d")
+    _assert_decode_matches(
+        os.path.join(leg["ref_work"], "ref_decode_0.npz"),
+        y_hat, idx, xy, None)
+    _assert_metric_files_match(
+        os.path.join(leg["ref_work"], "experiments/darknet_d",
+                     "metric_output.txt"),
+        os.path.join(leg["our_work"], "experiments/darknet_d",
+                     "metric_output.txt"))
+
+
+def test_combine_predict_end_to_end(leg_combine):
+    """The two-stage surface: crops -> classifier -> combine_y_hat grid
+    write-back (reference predict_fns.py:75-82, utils.py:336-351)."""
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+        dark_class_pred,
+    )
+
+    leg = leg_combine
+    images = _load_raw_images(leg["our_work"])
+    our_dark_dir = os.path.join(leg["our_work"], "experiments/darknet_r")
+    our_cls_dir = os.path.join(leg["our_work"], "experiments/cnn")
+    y_comb, _ = dark_class_pred(
+        images, our_dark_dir, leg["params"], our_cls_dir,
+        leg["cls_params"], "last")
+
+    ref = np.load(os.path.join(leg["ref_work"], "ref_combine.npz"))
+    # combined grid: detector channels tight; classifier channels carry
+    # crop resampling + conv noise through softmax (identical crops from
+    # identical frames -> only f32 noise remains)
+    B5C = 5 * 1  # n_boxes=1 -> dark channels [0:5+43), combine appends
+    np.testing.assert_allclose(y_comb[..., :B5C],
+                               ref["combined"][..., :B5C],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y_comb, ref["combined"],
+                               rtol=1e-3, atol=1e-3)
+
+    _assert_metric_files_match(
+        os.path.join(leg["ref_work"], "experiments/darknet_r",
+                     "combine-cnn_metric_output.txt"),
+        os.path.join(leg["our_work"], "experiments/darknet_r",
+                     "combine-cnn_metric_output.txt"))
