@@ -115,6 +115,11 @@ def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
     the caller (ours as experiments/<model>/last.ckpt, the reference's
     as last.pth.tar via interop.export_torch_checkpoint).
 
+    Class models (cnn/capsule) take the reference's class_model branch
+    (main.py:309-317): GTSRB test.p only — no raw frames — and the spy
+    instead captures the y_hat scores class_pred returns (via the
+    recog_acc call at main.py:313).
+
     Returns the env dict for run_reference.
     """
     import cv2
@@ -129,6 +134,16 @@ def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
                **{k: cfg[k] for k in
                   ("n_boxes", "n_grid", "darknet_input") if k in cfg})
     _, _, x_te, y_te = synthetic_dataset(model, p, n_train=2, n_eval=n_test)
+
+    if model in ("cnn", "capsule"):
+        with open(work + "/data/GTSRB/test.p", "wb") as f:
+            pickle.dump((x_te, y_te), f)
+        with open(work + "/stubs/sitecustomize.py", "a") as f:
+            f.write(_NUMPY2_COMPAT)
+            if capture:
+                f.write(_CAPTURE_CLASS_HOOK)
+        return env
+
     with open(work + "/data/GTSDB/test.p", "wb") as f:
         pickle.dump((x_te, y_te), f)
 
@@ -231,6 +246,33 @@ def _spy_comb(images, dark_y_hat, class_y_hat, image_indices, boxes_xy,
 
 
 _u.combine_y_hat = _spy_comb
+"""
+
+
+# Class-model predict spy: the reference's class_pred branch
+# (main.py:309-317) computes recog_pr/acc/auc on the scores class_pred
+# returned; wrapping metrics.recog_acc captures (y, y_hat) without
+# touching any reference code.  First call only — in predict mode
+# that IS the class_pred output (train mode never runs under this
+# workdir).
+_CAPTURE_CLASS_HOOK = """
+import os as _os
+import numpy as _np
+import metrics as _metrics
+
+_orig_racc = _metrics.recog_acc
+_racc_calls = [0]
+
+
+def _spy_racc(y, y_hat, params):
+    if _racc_calls[0] == 0:
+        _np.savez(_os.path.join(_os.getcwd(), "ref_class_pred.npz"),
+                  y=_np.asarray(y), y_hat=_np.asarray(y_hat, _np.float32))
+    _racc_calls[0] += 1
+    return _orig_racc(y, y_hat, params)
+
+
+_metrics.recog_acc = _spy_racc
 """
 
 

@@ -18,7 +18,9 @@ compares:
     (utils.py:336-351) and combine-cnn_metric_output.txt.
 
 Legs: darknet_r (B=1/C=43), darknet_d (B=2/C=0), darknet_r
---combine cnn.  Reference code is executed in place via subprocess
+--combine cnn, and the class-model branch (reference main.py:309-317)
+for cnn and capsule: class_pred scores + recog_pr/acc/auc in
+metric_output.txt.  Reference code is executed in place via subprocess
 (run_reference_baseline machinery) — never copied; its predict-time
 tensors are captured by a sitecustomize spy.  Marked slow (each leg
 trains a tiny model and runs both frameworks; torch CPU side ~1 min).
@@ -245,6 +247,58 @@ def leg_darknet_d(tmp_path_factory):
 def leg_combine(tmp_path_factory):
     return _build_leg(tmp_path_factory, "darknet_r", DET_R_CFG,
                       combine="cnn")
+
+
+def _assert_class_leg_matches(leg, model):
+    """Shared body for the class-model legs (reference main.py:309-317):
+    class_pred scores vs the captured reference call, argmax classes,
+    every metric_output.txt number, and the PR/ROC PNG artifacts."""
+    import pickle
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.predict import (
+        class_pred,
+    )
+
+    with open(os.path.join(leg["our_work"], "data/GTSRB/test.p"),
+              "rb") as f:
+        x, _ = pickle.load(f)
+    our_dir = os.path.join(leg["our_work"], "experiments", model)
+    y_hat, classes = class_pred(x, our_dir, leg["params"], "last")
+
+    ref = np.load(os.path.join(leg["ref_work"], "ref_class_pred.npz"))
+    np.testing.assert_allclose(y_hat, ref["y_hat"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        classes, np.argmax(ref["y_hat"], axis=1))
+
+    _assert_metric_files_match(
+        os.path.join(leg["ref_work"], "experiments", model,
+                     "metric_output.txt"),
+        os.path.join(leg["our_work"], "experiments", model,
+                     "metric_output.txt"))
+
+    # recog_pr/recog_auc save=True plots written on both sides
+    for work in (leg["ref_work"], leg["our_work"]):
+        mdir = os.path.join(work, "experiments", model)
+        pngs = [f for f in os.listdir(mdir) if f.endswith(".png")]
+        assert pngs, "no PR/ROC artifacts in " + mdir
+
+
+@pytest.fixture(scope="module")
+def leg_cnn(tmp_path_factory):
+    return _build_leg(tmp_path_factory, "cnn", CLS_CFG)
+
+
+@pytest.fixture(scope="module")
+def leg_capsule(tmp_path_factory):
+    return _build_leg(tmp_path_factory, "capsule", CLS_CFG)
+
+
+def test_cnn_class_predict_end_to_end(leg_cnn):
+    _assert_class_leg_matches(leg_cnn, "cnn")
+
+
+def test_capsule_class_predict_end_to_end(leg_capsule):
+    _assert_class_leg_matches(leg_capsule, "capsule")
 
 
 def test_darknet_r_predict_end_to_end(leg_darknet_r):
