@@ -89,7 +89,11 @@ def _batched_forward(step, variables, x, batch_size, mesh=None):
         # TPU mesh the deadlock does not exist and the extra host sync
         # would forfeit dispatch/concat overlap.
         jax.block_until_ready(outs)
-    return jnp.concatenate(outs, axis=0)
+    out = jnp.concatenate(outs, axis=0)
+    # multi-process: the batch-sharded output spans non-addressable
+    # devices, so callers' np.asarray would raise; all-gather to a
+    # replicated (fully addressable) array.  No-op single-process.
+    return par.gather_replicated(out, mesh)
 
 
 def dark_pred(images, model_dir, params, restore_file, is_end=True,
@@ -308,7 +312,10 @@ def _dark_class_pred_fused(images, dark_model_dir, dark_params,
         xb = jnp.asarray(x[i: i + bs])
         if mesh is not None:
             xb = par.place_batch(xb, mesh)
-        outs.append(step(xb))
+        # gather_replicated broadcasts its replicated out-sharding over
+        # the output dict's leaves; multi-process host fetches below
+        # need fully addressable arrays (no-op single-process)
+        outs.append(par.gather_replicated(step(xb), mesh))
     y_hat = np.concatenate([np.asarray(o["grid"]) for o in outs], axis=0)
     scores = np.concatenate(
         [np.asarray(o["class_scores"]) for o in outs], axis=0)

@@ -267,14 +267,21 @@ def main():
                 x = [np.clip(im * 128.0 + 128, 0, 255).astype(np.uint8)
                      for im in np.asarray(x)]
 
+        # multi-process predict: every process participates in the
+        # sharded forwards/gathers (collectives), but artifacts —
+        # metric_output.txt, PR/ROC/AP plots, output/*.jpg — are
+        # written by process 0 only, like the train path's is_primary
+        # gating (train/driver.py).  Single-process: always True.
+        primary = par.is_primary()
+
         metric_out = {}
         if class_model:
             y_hat, _ = class_pred(x, model_dir, params, args.restore)
             metric_out['recog_pr'] = recog_pr(
-                y, y_hat, params, save=True, save_dir=model_dir)
+                y, y_hat, params, save=primary, save_dir=model_dir)
             metric_out['recog_acc'] = recog_acc(y, y_hat, params)
             metric_out['recog_auc'] = recog_auc(
-                y, y_hat, params, save=True, save_dir=model_dir)
+                y, y_hat, params, save=primary, save_dir=model_dir)
 
         output = None
         if detect_model:
@@ -283,7 +290,7 @@ def main():
             y_hat, output = dark_pred(
                 x, model_dir, params, args.restore, y=y, use_nms=args.nms)
             metric_out['detect_AP'] = detect_AP(
-                y, y_hat, params, save=True, save_dir=save_dir)
+                y, y_hat, params, save=primary, save_dir=save_dir)
             metric_out['detect_acc'] = detect_acc(y, y_hat, params)
 
         if combine_model:
@@ -300,7 +307,7 @@ def main():
             save_dir = model_dir + '/combine-{}_mAP'.format(args.combine)
             os.makedirs(save_dir, exist_ok=True)
             metric_out['detect_and_recog_mAP'] = detect_and_recog_mAP(
-                y, y_hat, params, save=True, save_dir=save_dir)
+                y, y_hat, params, save=primary, save_dir=save_dir)
             metric_out['detect_and_recog_acc'] = detect_and_recog_acc(
                 y, y_hat, params)
 
@@ -308,12 +315,14 @@ def main():
         if combine_model:
             save_path = model_dir + "/combine-{}_metric_output.txt".format(
                 args.combine)
-        with open(save_path, "w") as text_file:
-            for k, v in metric_out.items():
-                text_file.write("{}:{}, ".format(k, v))
-                print("{}:{}, ".format(k, v))
+        if primary:
+            with open(save_path, "w") as text_file:
+                for k, v in metric_out.items():
+                    text_file.write("{}:{}, ".format(k, v))
+                    print("{}:{}, ".format(k, v))
 
-        if (detect_model or combine_model) and output is not None:
+        if (detect_model or combine_model) and output is not None \
+                and primary:
             import cv2
 
             save_dir = os.path.join(model_dir, 'output')
