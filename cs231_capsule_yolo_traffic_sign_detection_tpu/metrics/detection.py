@@ -131,6 +131,20 @@ def decode_with_conf(y, params, image_hw=None):
     C = params.n_classes
     B = int((D - C) / 5)
 
+    if B <= 0:
+        # Reference quirk, reproduced: detect_and_recog_mAP mutates
+        # n_classes to 43 (metrics.py:285), so on the darknet_d
+        # (C=0) --combine leg the 5-channel ground truth decodes with
+        # C=43 -> negative B.  numpy's reshape treats the negative dim
+        # as "infer" over the empty channel slice, and np.argwhere of
+        # the empty mask emits nothing (utils.py:307-331): zero boxes,
+        # never a crash.  The combine metrics then come out nan/0 on
+        # both sides — tests/test_predict_reference_parity.py pins it.
+        empty_cls = None if C == 0 else np.zeros(0, np.int64)
+        return [{"conf": np.zeros(0, np.float32),
+                 "xy": np.zeros((0, 4), np.float64),
+                 "cls": empty_cls} for _ in range(batch)]
+
     yb = y[..., : 5 * B].reshape(batch, g, g, B, 5)
     conf = yb[..., 0].reshape(batch, -1)
 

@@ -93,8 +93,7 @@ def decode_grid(y, *, n_classes, n_boxes, img_size, max_boxes=None, conf_th=0.5)
             "valid": valid, "idx": top_idx.astype(jnp.int32)}
 
 
-def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True,
-                 extras=None):
+def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True):
     """Convert fixed-size device output to the reference's flat lists.
 
     Args:
@@ -104,19 +103,34 @@ def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True,
         behavior of denormalizing directly into each image's frame,
         utils.py:320-325).
       img_size: network input size (needed when image_hw given).
-      extras: optional dict of extra (batch, max_boxes, ...) arrays to
-        flatten in the SAME box order (e.g. the fused two-stage path's
-        per-slot classifier scores).
 
     Returns (image_indices, xy, classes_or_None) exactly like
-    `ops.boxes.y_to_boxes_vec`; with `extras`, a dict of flattened
-    extras is appended as a fourth element.
+    `ops.boxes.y_to_boxes_vec` — always a 3-tuple.  Callers that need
+    extra per-slot arrays flattened in the same order use
+    `to_flat_host_with_extras` (a stable 4-tuple) instead of a
+    shape-shifting return here.
 
     Per-image box order is the reference's np.argwhere grid-scan order
     (row, col, box — utils.py:313), restored from decode_grid's `idx`
     (the device output is confidence-sorted by top_k).  Order matters
     downstream: the two-stage crops feed combine_y_hat, whose same-cell
     writes are last-wins (utils.py:336-351).
+    """
+    out, _ = to_flat_host_with_extras(
+        decoded, None, image_hw=image_hw, img_size=img_size,
+        with_classes=with_classes)
+    return out
+
+
+def to_flat_host_with_extras(decoded, extras, image_hw=None, img_size=None,
+                             with_classes=True):
+    """`to_flat_host` plus extra per-slot arrays, stable 4-tuple.
+
+    `extras` is a dict of (batch, max_boxes, ...) arrays flattened in
+    the SAME restored grid order as the boxes (e.g. the fused two-stage
+    path's per-slot classifier scores).  Returns
+    ((image_indices, xy, classes_or_None), flat_extras); flat_extras is
+    {} when extras is None/empty.
     """
     conf = np.asarray(decoded["conf"])
     xy = np.asarray(decoded["xy"])
@@ -145,14 +159,12 @@ def to_flat_host(decoded, image_hw=None, img_size=None, with_classes=True,
     xy_out = np.concatenate(boxes) if boxes else np.zeros((0, 4))
     cls_out = np.concatenate(classes) if classes else np.zeros(0, np.int64)
     out = (image_indices, xy_out, (cls_out if with_classes else None))
-    if extras:
-        flat_extras = {
-            k: (np.concatenate(v) if v
-                else np.zeros((0,) + extras[k].shape[2:], extras[k].dtype))
-            for k, v in extras_out.items()
-        }
-        return out + (flat_extras,)
-    return out
+    flat_extras = {
+        k: (np.concatenate(v) if v
+            else np.zeros((0,) + extras[k].shape[2:], extras[k].dtype))
+        for k, v in extras_out.items()
+    }
+    return out, flat_extras
 
 
 def nms_mask(xy, conf, valid, iou_th=0.5):

@@ -87,11 +87,14 @@ def gather_replicated(x, mesh: Mesh):
     return _replicated_identity(NamedSharding(mesh, P()))(x)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _replicated_identity(repl: NamedSharding):
     """Jitted identity with a replicated out-sharding, cached per
     sharding: a fresh `jax.jit(lambda ...)` per call would defeat the
-    jit cache (new function identity) and retrace every metric epoch."""
+    jit cache (new function identity) and retrace every metric epoch.
+    Bounded (a handful of shardings is ever live at once) so long-lived
+    processes that build many distinct meshes — test drivers — don't
+    pin every Mesh and its compiled executable forever."""
     return jax.jit(lambda a: a, out_shardings=repl)
 
 

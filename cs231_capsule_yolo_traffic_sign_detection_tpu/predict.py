@@ -25,6 +25,21 @@ from .train.driver import model_input_shape
 from .train.steps import init_variables, make_predict_step
 
 
+def _dtype_name(params):
+    """Normalized --dtype spelling for the serving-path branches.
+
+    Mirrors models.registry._compute_dtype's alias set so 'bf16' and
+    'bfloat16' (and 'f32'/'float32') select the same numerics here —
+    previously the aliases silently diverged on the predict paths.
+    """
+    name = str(params.get("compute_dtype", "float32")).lower()
+    if name in ("bfloat16", "bf16"):
+        return "bfloat16"
+    if name in ("float32", "f32", ""):
+        return "float32"
+    return name
+
+
 def restore_variables(params, model_dir, restore_file):
     """Build the model and restore its variables from last/best.ckpt.
 
@@ -107,7 +122,7 @@ def dark_pred(images, model_dir, params, restore_file, is_end=True,
     import cv2
 
     model, variables, mesh = restore_variables(params, model_dir, restore_file)
-    dtype_s = str(params.get("compute_dtype", "float32")).lower()
+    dtype_s = _dtype_name(params)
     use_int8 = dtype_s == "int8"
     if dtype_s == "bfloat16":
         # honor --dtype bfloat16 on the serving path like the exported
@@ -289,7 +304,7 @@ def _dark_class_pred_fused(images, dark_model_dir, dark_params,
 
     common = dict(n_boxes=nb, n_classes=nc, img_size=size, cap_input=ci,
                   max_crops=max_crops, conf_th=conf_th, with_grid=True)
-    dtype_s = str(dark_params.get("compute_dtype", "float32")).lower()
+    dtype_s = _dtype_name(dark_params)
     if dtype_s == "int8":
         from .ops import quant
 
@@ -330,15 +345,16 @@ def _dark_class_pred_fused(images, dark_model_dir, dark_params,
     all_conf = y_hat[..., : 5 * nb].reshape(b, -1, 5)[..., 0]
     n_above = int((all_conf > conf_th).sum())
     n_kept = int(np.asarray(decoded["valid"]).sum())
-    if n_above > n_kept:
+    if n_above > n_kept and par.is_primary():
         print("[device_crop] {} above-threshold detections exceed the "
               "static cap (max_crops={}, kept {}); pass a larger "
               "--max_crops to classify them all".format(
                   n_above - n_kept, max_crops, n_kept))
 
-    image_indices, boxes_xy, _, flat_extras = decode_ops.to_flat_host(
-        decoded, image_hw=image_hw, img_size=size, with_classes=True,
-        extras={"scores": scores})
+    (image_indices, boxes_xy, _), flat_extras = \
+        decode_ops.to_flat_host_with_extras(
+            decoded, {"scores": scores}, image_hw=image_hw, img_size=size,
+            with_classes=True)
     class_y_hat = flat_extras["scores"]  # to_flat_host's box order
     classes = (np.argmax(class_y_hat, axis=1)
                if class_y_hat.shape[0] else np.zeros(0, np.int64))

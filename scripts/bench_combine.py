@@ -240,13 +240,11 @@ def main():
         t["detect_d2h"] = time.perf_counter() - t0  # the fetch itself
 
         t0 = time.perf_counter()
-        if args.device_crop:
-            image_indices, boxes_xy, classes0, _flat = decode_ops.to_flat_host(
-                decoded, image_hw=image_hw, img_size=SIZE,
-                with_classes=True, extras={"scores": scores})
-        else:
-            image_indices, boxes_xy, classes0 = decode_ops.to_flat_host(
-                decoded, image_hw=image_hw, img_size=SIZE, with_classes=True)
+        (image_indices, boxes_xy, classes0), _flat = \
+            decode_ops.to_flat_host_with_extras(
+                decoded,
+                {"scores": scores} if args.device_crop else None,
+                image_hw=image_hw, img_size=SIZE, with_classes=True)
         if args.device_crop:
             # annotation still happens (product behavior); the crops
             # were classified ON DEVICE inside the fused program

@@ -31,6 +31,24 @@ import pytest  # noqa: E402
 from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params  # noqa: E402
 
 
+# The `unit` tier (VERDICT r4 item 7): the pure-function test files —
+# no subprocesses, no model training, no reference torch runs — as a
+# sub-5-minute red-green inner loop:  python -m pytest -q -m unit
+# (measured time recorded in pytest.ini).  Defined here, in one place,
+# so the tier's membership is auditable.
+UNIT_FILES = {
+    "test_boxes.py", "test_polar.py", "test_losses.py", "test_decode.py",
+    "test_metrics.py", "test_capsule_ops.py", "test_quant.py",
+    "test_crop.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in UNIT_FILES:
+            item.add_marker(pytest.mark.unit)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -138,3 +138,28 @@ def test_darkcapsule_acc_shapes(det_params, rng):
     caps[0, 1, 1, 7, :5] = [0.7, 0.35, 0.35, 0.21, 0.21]
     out = M.darkcapsule_acc(y, caps, det_params)
     assert np.isfinite(out)
+
+
+def test_decode_with_conf_negative_b_matches_reference_quirk():
+    """detect_and_recog_mAP mutates n_classes to 43 (reference
+    metrics.py:285); on the darknet_d --combine leg the C=0 ground
+    truth (5 channels) then decodes with negative B.  The reference's
+    negative reshape dim infers zero candidates and argwhere emits
+    nothing (utils.py:307-331) — nan mAP / 0.0 acc, never a crash.
+    Pinned cross-framework in tests/test_predict_reference_parity.py;
+    this guards the in-repo half."""
+    import warnings
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.params import Params
+
+    p = Params(n_classes=0, n_boxes=2, n_grid=2, darknet_input=64,
+               model="darknet_d")
+    y = np.zeros((2, 2, 2, 5), np.float32)
+    y_hat = np.zeros((2, 2, 2, 53), np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        m = D.detect_and_recog_mAP(y, y_hat, p, save=False)
+    assert np.isnan(m)
+    assert p.n_classes == 43  # the mutation IS the quirk
+    a = D.detect_and_recog_acc(y, y_hat, p)
+    assert a == 0.0
