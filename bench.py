@@ -266,6 +266,92 @@ def bench_tpu(dtype="float32"):
     return max(ips_dispatch, ips_device)
 
 
+def bench_fused_combine(dtype="bfloat16", max_crops=None):
+    """Throughput of the fused two-stage pipeline (detect -> decode ->
+    crop -> classify in ONE program — what `--combine cnn
+    --device_crop` serves), regression-tracked per round (VERDICT r4
+    weak #7: the flagship middle previously lived only in dated
+    BASELINE captures via scripts/bench_combine.py).
+
+    The fused program classifies a STATIC B x max_crops crop tensor, so
+    throughput is data-independent; max_crops=16/image puts the
+    pipeline in the classifier-dominant regime the staged bench
+    measured (BASELINE.md: classify 199-225 ms vs detect 73-93 ms).
+    dtype bf16 runs both stages bf16; int8 runs the calibrated
+    int8-resident detector + int8 ConvNet classifier.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cs231_capsule_yolo_traffic_sign_detection_tpu import (
+        export as export_mod,
+    )
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import (
+        ConvNet, DarkNet,
+    )
+
+    if max_crops is None:
+        max_crops = int(os.environ.get("BENCH_MAX_CROPS", "16"))
+    det = DarkNet(n_boxes=N_BOXES, n_classes=N_CLASSES, dropout=0.0)
+    x0 = jnp.zeros((2, SIZE, SIZE, 3), jnp.float32)
+    dvars = det.init(jax.random.PRNGKey(0), x0, train=False)
+    cls = ConvNet(n_classes=N_CLASSES, dropout=0.0)
+    cvars = cls.init(jax.random.PRNGKey(1),
+                     jnp.zeros((2, 32, 32, 3), jnp.float32), train=False)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+
+    common = dict(n_boxes=N_BOXES, n_classes=N_CLASSES, img_size=SIZE,
+                  cap_input=32, max_crops=max_crops, conf_th=0.5)
+    if dtype == "int8":
+        from cs231_capsule_yolo_traffic_sign_detection_tpu.ops import quant
+
+        x_cal = x[: min(BATCH, 32)]
+        qp = quant.quantize_darknet(dvars, x_cal=x_cal)
+        crops_cal = jax.jit(export_mod.make_crops_fn(
+            det, dvars, **common))(x_cal)
+        qc = quant.quantize_convnet(cvars, x_cal=crops_cal)
+        fn = export_mod.make_int8_two_stage_fn(qp, cls, cvars,
+                                               qparams_cls=qc, **common)
+    else:
+        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        fn = export_mod.make_two_stage_fn(det, dvars, cls, cvars,
+                                          dtype=dt, cls_dtype=dt, **common)
+
+    def step(x):
+        d = fn(x)
+        return (jnp.sum(d["conf"]) + jnp.sum(d["xy"])
+                + jnp.sum(d["class_scores"]))
+
+    pipeline = jax.jit(step)
+    t0 = time.perf_counter()
+    out = float(pipeline(x))
+    log(f"[bench] fused combine ({dtype}, max_crops={max_crops}) "
+        f"compile+first: {time.perf_counter() - t0:.1f}s "
+        f"(checksum {out:.2f})")
+    for _ in range(WARMUP):
+        out = pipeline(x)
+    _ = float(out)
+
+    ready = pipeline(x)
+    _ = float(ready)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(ready)
+    rtt = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = pipeline(x)
+    _ = float(out)
+    dt = time.perf_counter() - t0 - rtt
+    ips = BATCH * ITERS / dt
+    log(f"[bench] fused combine ({dtype}): {ITERS} x batch {BATCH} in "
+        f"{dt:.3f}s (rtt {rtt*1e3:.1f}ms) -> {ips:.1f} img/s")
+    return ips
+
+
 def bench_reference_cpu(n_images=4):
     """Run the reference's torch model + numpy decode on CPU."""
     sys.path.insert(0, "/root/reference")
@@ -360,6 +446,15 @@ def main():
         log(f"[bench] champion int8-resident: {ips_int8:.1f} img/s "
             f"(headline {dtype}: {ips:.1f})")
 
+    # VERDICT r4 weak #7: regression-track the flagship fused two-stage
+    # (the `--combine cnn --device_crop` program) next to the detect
+    # numbers.  Same gating as the int8 champion.
+    ips_fused = None
+    if (dtype == "bfloat16"
+            and metric == "gtsdb_e2e_inference_throughput"
+            and not os.environ.get("BENCH_SKIP_COMBINE")):
+        ips_fused = bench_fused_combine("bfloat16")
+
     base = bench_reference_cpu()
     vs = (ips / base) if base else -1.0
     payload = {
@@ -374,6 +469,10 @@ def main():
         payload["int8_value"] = round(ips_int8, 2)
         payload["int8_vs_baseline"] = (round(ips_int8 / base, 2)
                                        if base else -1.0)
+    if ips_fused is not None:
+        payload["fused_combine_value"] = round(ips_fused, 2)
+        payload["fused_combine_max_crops"] = int(
+            os.environ.get("BENCH_MAX_CROPS", "16"))
     print(json.dumps(payload))
 
 

@@ -122,11 +122,28 @@ def make_grid_fn(model, variables, *, dtype=jnp.float32):
     return fn
 
 
-def _two_stage_tail(x, y, *, cls_model, cls_vars, n_boxes, n_classes,
+def _make_classify(cls_model, cls_vars, cls_dtype=None):
+    """Classifier stage callable for the fused tail.
+
+    cls_dtype=None runs f32; bf16 casts weights AND input so the score
+    matmuls hit the MXU at bf16 (scores come back f32).  Previously the
+    classifier was pinned f32 under every --dtype even though the
+    staged bench shows the fused pipeline is classifier/crop-bound
+    (VERDICT r4 weak #3).
+    """
+    if cls_dtype is None or cls_dtype == jnp.float32:
+        return lambda flat: cls_model.apply(cls_vars, flat, train=False)
+    cast_vars = _cast_variables(cls_vars, cls_dtype)
+    return lambda flat: cls_model.apply(
+        cast_vars, flat.astype(cls_dtype), train=False)
+
+
+def _two_stage_tail(x, y, *, classify, n_boxes, n_classes,
                     img_size, cap_input, max_crops, conf_th, use_nms,
-                    with_grid):
+                    with_grid, with_crops=False):
     """Shared decode -> crop -> classify tail of the fused two-stage
-    program (one implementation for every detector dtype variant)."""
+    program (one implementation for every detector dtype variant).
+    `classify` maps centered (B*max_crops, ci, ci, 3) crops to scores."""
     from .data.loader import center_rgb
     from .ops import decode as decode_ops
     from .ops.crop import crop_resize_bilinear
@@ -140,18 +157,43 @@ def _two_stage_tail(x, y, *, cls_model, cls_vars, n_boxes, n_classes,
     crops = crop_resize_bilinear(x, d["xy"], cap_input, valid=d["valid"])
     b, m = crops.shape[:2]
     flat = center_rgb(crops.reshape(b * m, cap_input, cap_input, -1))
-    scores = cls_model.apply(cls_vars, flat, train=False)
+    scores = classify(flat)
     scores = scores.astype(jnp.float32).reshape(b, m, -1)
     out = dict(d, class_scores=scores)
     if with_grid:
         out["grid"] = y
+    if with_crops:
+        out["crops"] = flat
     return out
+
+
+def make_crops_fn(det_model, det_vars, *, n_boxes, n_classes, img_size,
+                  cap_input=32, max_crops=16, conf_th=0.5,
+                  dtype=jnp.float32):
+    """Detect -> decode -> crop -> center, WITHOUT the classifier: the
+    centered crop tensors the fused two-stage feeds its classifier.
+    Used to produce classifier calibration batches (quant.
+    quantize_convnet) from a detector-input calibration batch, so the
+    static activation scales see exactly the serving distribution."""
+    det_vars = _cast_variables(det_vars, dtype)
+    tail = dict(classify=lambda flat: jnp.zeros(
+                    (flat.shape[0], 1), jnp.float32),
+                n_boxes=n_boxes, n_classes=n_classes, img_size=img_size,
+                cap_input=cap_input, max_crops=max_crops, conf_th=conf_th,
+                use_nms=False, with_grid=False, with_crops=True)
+
+    def fn(x):
+        y = det_model.apply(det_vars, x.astype(dtype), train=False)
+        return _two_stage_tail(x, y.astype(jnp.float32), **tail)["crops"]
+
+    return fn
 
 
 def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
                       n_boxes, n_classes, img_size, cap_input=32,
                       max_crops=16, conf_th=0.5, use_nms=False,
-                      dtype=jnp.float32, with_grid=False):
+                      dtype=jnp.float32, cls_dtype=None,
+                      with_grid=False):
     """Fused two-stage serving fn: detect -> crop -> classify, ONE program.
 
     The TPU-native composition of the reference's flagship demo
@@ -165,9 +207,11 @@ def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
     raw detector grid under "grid" (the CLI combine path needs it for
     combine_y_hat).
 
-    `dtype` runs the detector in f32 or bf16 (classifier stays f32 —
-    its share of the pipeline is tiny); for the int8-resident detector
-    use `make_int8_two_stage_fn`.
+    `dtype` runs the detector in f32 or bf16; `cls_dtype` does the same
+    for the classifier (default None = f32; the CLI passes bf16 under
+    `--dtype bfloat16` — the staged bench shows the classifier is the
+    fused pipeline's dominant device cost, BASELINE.md).  For the
+    int8-resident detector use `make_int8_two_stage_fn`.
 
     DEVIATION (opt-in; the product `--combine` path is unchanged):
     crops are sampled from the img_size input, not the original
@@ -175,7 +219,8 @@ def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
     static cap) are classified.  COMPAT.md #33.
     """
     det_vars = _cast_variables(det_vars, dtype)
-    tail = dict(cls_model=cls_model, cls_vars=cls_vars, n_boxes=n_boxes,
+    tail = dict(classify=_make_classify(cls_model, cls_vars, cls_dtype),
+                n_boxes=n_boxes,
                 n_classes=n_classes, img_size=img_size,
                 cap_input=cap_input, max_crops=max_crops, conf_th=conf_th,
                 use_nms=use_nms, with_grid=with_grid)
@@ -190,20 +235,28 @@ def make_two_stage_fn(det_model, det_vars, cls_model, cls_vars, *,
 def make_int8_two_stage_fn(qparams, cls_model, cls_vars, *,
                            n_boxes, n_classes, img_size, cap_input=32,
                            max_crops=16, conf_th=0.5, use_nms=False,
-                           with_grid=False):
+                           with_grid=False, qparams_cls=None):
     """Fused two-stage serving fn over the int8-resident detector.
 
     Same contract and deviations as `make_two_stage_fn`, but the
     detector stage is the calibrated int8 chain
     (`ops.quant.darknet_int8_resident_apply`, the measured serving
-    champion — BASELINE.md); the classifier runs f32.  The int8
+    champion — BASELINE.md).  The classifier runs f32, or — when
+    `qparams_cls` (from quant.quantize_convnet) is given — the
+    calibrated int8 ConvNet chain, removing the fused pipeline's
+    dominant remaining f32 cost (VERDICT r4 weak #3).  All int8
     weights, per-channel weight scales, and static activation scales
     are closed over, so they bake into an exported artifact exactly
     like `make_int8_detector_fn`'s.
     """
     from .ops import quant
 
-    tail = dict(cls_model=cls_model, cls_vars=cls_vars, n_boxes=n_boxes,
+    if qparams_cls is not None:
+        classify = lambda flat: quant.convnet_int8_apply(  # noqa: E731
+            qparams_cls, flat)
+    else:
+        classify = _make_classify(cls_model, cls_vars)
+    tail = dict(classify=classify, n_boxes=n_boxes,
                 n_classes=n_classes, img_size=img_size,
                 cap_input=cap_input, max_crops=max_crops, conf_th=conf_th,
                 use_nms=use_nms, with_grid=with_grid)
@@ -335,8 +388,10 @@ def export_two_stage_from_checkpoints(dark_params, dark_model_dir,
     --device_crop` serves (predict._dark_class_pred_fused builds the
     same fn).  dtype "int8" exports the calibrated int8-resident
     detector chain and needs `x_cal` (a representative (B, S, S, 3)
-    batch); f32/bf16 cast the detector weights.  The classifier always
-    runs f32.
+    batch); the cnn classifier is then ALSO quantized (int8 ConvNet
+    chain, calibrated on the crops the pipeline itself produces from
+    x_cal).  bf16 runs both stages bf16.  The capsule classifier stays
+    f32 under int8 (no quantized routing, COMPAT.md #35).
     """
     from .predict import restore_variables
     from .train.driver import model_input_shape
@@ -364,12 +419,23 @@ def export_two_stage_from_checkpoints(dark_params, dark_model_dir,
     if str(dtype) == "int8":
         from .ops import quant
 
-        qparams = quant.quantize_darknet(det_vars,
-                                         x_cal=jnp.asarray(x_cal))
-        fn = make_int8_two_stage_fn(qparams, cls_model, cls_vars, **common)
+        x_cal = jnp.asarray(x_cal)
+        qparams = quant.quantize_darknet(det_vars, x_cal=x_cal)
+        qparams_cls = None
+        if class_params.model == "cnn":
+            crops_cal = jax.jit(make_crops_fn(
+                det_model, det_vars, n_boxes=common["n_boxes"],
+                n_classes=common["n_classes"], img_size=shape[0],
+                cap_input=common["cap_input"], max_crops=max_crops,
+                conf_th=conf_th))(x_cal)
+            qparams_cls = quant.quantize_convnet(cls_vars,
+                                                 x_cal=crops_cal)
+        fn = make_int8_two_stage_fn(qparams, cls_model, cls_vars,
+                                    qparams_cls=qparams_cls, **common)
     else:
+        cls_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else None
         fn = make_two_stage_fn(det_model, det_vars, cls_model, cls_vars,
-                               dtype=dtype, **common)
+                               dtype=dtype, cls_dtype=cls_dt, **common)
     return export_serving(fn, shape, batch=batch, platforms=platforms), fn
 
 

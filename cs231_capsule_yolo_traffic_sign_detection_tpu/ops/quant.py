@@ -17,6 +17,14 @@ reference predict_fns.py:10-58); OFF by default everywhere.  Two tiers:
    the FLOPs and feeds sigmoid/softmax directly, where quantization
    error is most visible.
 
+3. **ConvNet classifier quantization** (`fold_convnet`,
+   `quantize_convnet`, `convnet_int8_apply`): the same fold +
+   symmetric per-channel int8 treatment for the two-stage pipeline's
+   classifier (reference models.py:22-43) — both convs and the
+   32768x128 dense run s8 x s8 -> s32; the n_classes head stays f32.
+   The fused `--combine --device_crop --dtype int8` path and the int8
+   two-stage export use it (export.make_int8_two_stage_fn).
+
 The layer topology is read from models.darknet.DARKNET_LAYERS (static),
 so quantized parameter pytrees contain only arrays and jit cleanly.
 """
@@ -262,6 +270,113 @@ def darknet_int8_resident_s2d_apply(qparams, x, *, n_boxes, n_classes):
     z = jnp.max(z.reshape(b_, h, w, 4, n_out), axis=3)
     return _resident_tail(qparams, z, 1, n_boxes=n_boxes,
                           n_classes=n_classes)
+
+
+# ---------------------------------------------------------------------------
+# ConvNet classifier quantization (VERDICT r4 weak #3: the fused
+# two-stage pipeline is classifier/crop-bound — BASELINE.md measures
+# classify at 199-225 ms vs detect 73-93 ms per 256-frame middle — so
+# the classifier is the dominant device cost once the detector is int8)
+# ---------------------------------------------------------------------------
+
+
+def fold_convnet(variables, eps=1e-5):
+    """Fold BN into the ConvNet's two conv layers.
+
+    The reference ConvNet (models.py:22-43) is conv(+bias)+BN twice,
+    then two dense layers; with y = BN(conv(x, w) + cb) the folded form
+    is conv(x, w*inv) + (bn_bias + (cb - mean)*inv), inv = scale /
+    sqrt(var + eps) per output channel.  Returns (conv_layers[2],
+    dense1, head) dicts of f32 arrays.
+    """
+    p, bs = variables["params"], variables["batch_stats"]
+    convs = []
+    for i in range(2):
+        w = p[f"Conv_{i}"]["kernel"].astype(jnp.float32)
+        cb = p[f"Conv_{i}"]["bias"].astype(jnp.float32)
+        bn, st = p[f"BatchNorm_{i}"], bs[f"BatchNorm_{i}"]
+        inv = (bn["scale"] / jnp.sqrt(st["var"] + eps)).astype(jnp.float32)
+        convs.append({
+            "w": w * inv,
+            "b": (bn["bias"] + (cb - st["mean"]) * inv).astype(jnp.float32),
+        })
+    dense = {"w": p["Dense_0"]["kernel"].astype(jnp.float32),
+             "b": p["Dense_0"]["bias"].astype(jnp.float32)}
+    head = {"w": p["Dense_1"]["kernel"].astype(jnp.float32),
+            "b": p["Dense_1"]["bias"].astype(jnp.float32)}
+    return convs, dense, head
+
+
+def _convnet_folded_forward(convs, dense, head, x, record=None):
+    """f32 inference forward over the folded ConvNet; optionally
+    records max|input| ahead of each quantized op into `record`."""
+    for L in convs:
+        if record is not None:
+            record.append(jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12))
+        x = _conv(x, L["w"], 3) + L["b"]
+        x = jax.nn.leaky_relu(x, 0.01)  # torch default slope (ConvNet)
+    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    x = x.reshape(x.shape[0], -1)
+    if record is not None:
+        record.append(jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12))
+    x = jax.nn.relu(x @ dense["w"] + dense["b"])
+    return x @ head["w"] + head["b"]
+
+
+def quantize_convnet(variables, x_cal, eps=1e-5):
+    """Quantize the ConvNet classifier: conv+BN fold + symmetric
+    per-output-channel int8 on both convs and the big first dense
+    (32768x128 — the classifier's largest matmul); the 128->n_classes
+    head stays f32 (it feeds the score comparison directly).
+
+    `x_cal` is a representative batch of CENTERED crops — the same
+    tensors the fused two-stage pipeline feeds the classifier
+    (export.make_crops_fn produces them from a calibration image
+    batch).  Static activation scales, like the detector's calibrated
+    chain; inputs beyond the calibrated range saturate.
+    """
+    convs, dense, head = fold_convnet(variables, eps)
+    q = []
+    for L in convs:
+        s = jnp.maximum(jnp.max(jnp.abs(L["w"]), axis=(0, 1, 2)) / 127.0,
+                        1e-12)
+        q.append({"wq": jnp.clip(jnp.round(L["w"] / s), -127,
+                                 127).astype(jnp.int8),
+                  "ws": s, "b": L["b"]})
+    ds = jnp.maximum(jnp.max(jnp.abs(dense["w"]), axis=0) / 127.0, 1e-12)
+    dq = {"wq": jnp.clip(jnp.round(dense["w"] / ds), -127,
+                         127).astype(jnp.int8),
+          "ws": ds, "b": dense["b"]}
+    record = []
+    _convnet_folded_forward(convs, dense, head,
+                            jnp.asarray(x_cal, jnp.float32), record)
+    return {"convs": q, "dense": dq, "head": head,
+            "act_scales": jnp.stack(record)}
+
+
+def convnet_int8_apply(qc, x):
+    """int8 ConvNet classifier forward: s8 x s8 -> s32 convs + dense on
+    the MXU, f32 LeakyReLU/pool/head.  Matches the folded f32 forward
+    up to quantization error (band-tested in tests/test_quant.py)."""
+    act = qc["act_scales"]
+    x = x.astype(jnp.float32)
+    for i, L in enumerate(qc["convs"]):
+        sx = act[i]
+        z = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        acc = _conv(z, L["wq"], 3, accum_dtype=jnp.int32)
+        x = jax.nn.leaky_relu(
+            acc.astype(jnp.float32) * (sx * L["ws"]) + L["b"], 0.01)
+    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    x = x.reshape(x.shape[0], -1)
+    sx = act[2]
+    z = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        z, qc["dense"]["wq"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    x = jax.nn.relu(
+        acc.astype(jnp.float32) * (sx * qc["dense"]["ws"])
+        + qc["dense"]["b"])
+    return x @ qc["head"]["w"] + qc["head"]["b"]
 
 
 def darknet_int8_apply(qparams, x, *, n_boxes, n_classes):

@@ -185,3 +185,90 @@ def test_int8_s2d_jits(darknet_setup):
     # resident chain under the same regime (test above)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# ConvNet classifier quantization (VERDICT r4 weak #3): conv+BN fold +
+# int8 convs/dense — the fused two-stage's dominant device cost
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def convnet_setup():
+    from cs231_capsule_yolo_traffic_sign_detection_tpu.models import ConvNet
+
+    model = ConvNet(n_classes=43, dropout=0.5)  # dropout off at inference
+    # centered crops — the distribution the fused pipeline feeds the
+    # classifier (center_rgb of cropped frames)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.RandomState(1)
+
+    def perturb(path, a):
+        names = [str(getattr(p, "key", "")) for p in path]
+        if any(n.startswith("BatchNorm") for n in names):
+            return a + jnp.asarray(
+                0.05 * np.abs(rng.randn(*a.shape)).astype(np.float32))
+        return a
+
+    variables = jax.tree_util.tree_map_with_path(perturb, dict(variables))
+    y_ref = model.apply(variables, x, train=False)
+    return model, variables, x, y_ref
+
+
+def test_convnet_fold_matches_model(convnet_setup):
+    model, variables, x, y_ref = convnet_setup
+    convs, dense, head = quant.fold_convnet(variables)
+    y_fold = quant._convnet_folded_forward(convs, dense, head, x)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_convnet_int8_tracks_f32(convnet_setup):
+    model, variables, x, y_ref = convnet_setup
+    qc = quant.quantize_convnet(variables, x_cal=x)
+    y_q = np.asarray(quant.convnet_int8_apply(qc, x))
+    y_ref = np.asarray(y_ref)
+    assert y_q.shape == y_ref.shape
+    # raw logits (the head is f32): relative band over the logit scale
+    scale = np.abs(y_ref).max()
+    err = np.abs(y_q - y_ref) / (scale + 1e-8)
+    assert err.mean() < 0.02, err.mean()
+    assert err.max() < 0.15, err.max()
+    # the class decision predict takes must be stable
+    assert (y_q.argmax(-1) == y_ref.argmax(-1)).mean() > 0.85
+
+
+def test_convnet_int8_jits(convnet_setup):
+    model, variables, x, _ = convnet_setup
+    qc = quant.quantize_convnet(variables, x_cal=x)
+
+    @jax.jit
+    def f(qc, x):
+        return quant.convnet_int8_apply(qc, x)
+
+    y1 = np.asarray(f(qc, x))
+    y2 = np.asarray(quant.convnet_int8_apply(qc, x))
+    np.testing.assert_allclose(y1, y2, rtol=2e-2, atol=2e-2)
+    for L in qc["convs"]:
+        assert L["wq"].dtype == jnp.int8
+    assert qc["dense"]["wq"].dtype == jnp.int8
+    assert qc["act_scales"].shape == (3,)
+
+
+def test_convnet_weight_quant_error_bounded(convnet_setup):
+    model, variables, _, _ = convnet_setup
+    convs, dense, _ = quant.fold_convnet(variables)
+    qc = quant.quantize_convnet(
+        variables,
+        x_cal=jnp.zeros((1, 32, 32, 3), jnp.float32))
+    for L, Q in zip(convs, qc["convs"]):
+        w_rec = Q["wq"].astype(jnp.float32) * Q["ws"]
+        step = np.asarray(Q["ws"])
+        err = np.abs(np.asarray(w_rec) - np.asarray(L["w"]))
+        assert (err <= 0.5 * step[None, None, None, :] + 1e-8).all()
+    d_rec = qc["dense"]["wq"].astype(jnp.float32) * qc["dense"]["ws"]
+    step = np.asarray(qc["dense"]["ws"])
+    err = np.abs(np.asarray(d_rec) - np.asarray(dense["w"]))
+    assert (err <= 0.5 * step[None, :] + 1e-8).all()
