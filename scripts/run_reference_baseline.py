@@ -32,7 +32,8 @@ REF = "/root/reference"
 
 
 def prepare_reference_workdir(work, n_train=512, n_eval=64, n_epochs=1,
-                              params_json=None, model="cnn"):
+                              params_json=None, model="cnn",
+                              capture_avg_iou=False):
     """Scratch dir with synthetic data + stubs so the reference runs.
 
     Returns the env dict to use with run_reference.  The stubs cover
@@ -93,13 +94,41 @@ def prepare_reference_workdir(work, n_train=512, n_eval=64, n_epochs=1,
             "    except RuntimeError:\n"
             "        return self.reshape(*a, **k)\n"
             "torch.Tensor.view = _view\n")
+    if capture_avg_iou:
+        with open(work + "/stubs/sitecustomize.py", "a") as f:
+            f.write(_CAPTURE_AVG_IOU_HOOK)
 
     return dict(os.environ, PYTHONPATH=work + "/stubs:" + REF)
 
 
+# Spy on the reference's dark_loss side channel: it writes
+# params.avg_iou after every call (loss_fns.py:141), but only the
+# darknet_d train loop ever prints it (main.py:93-94).  Appending each
+# value to a file exposes it for darknet_r too — pure observation, no
+# reference code touched.  Call order per epoch is n_train_batches then
+# n_eval_batches (main.py:170-172), so the consumer segments by batch
+# counts.
+_CAPTURE_AVG_IOU_HOOK = """
+import os as _os
+import loss_fns as _lf
+
+_orig_dark_loss = _lf.dark_loss
+
+
+def _spy_dark_loss(y_hat, y, params, *a, **k):
+    out = _orig_dark_loss(y_hat, y, params, *a, **k)
+    with open(_os.path.join(_os.getcwd(), "ref_avg_iou.txt"), "a") as f:
+        f.write("%r\\n" % float(params.avg_iou))
+    return out
+
+
+_lf.dark_loss = _spy_dark_loss
+"""
+
+
 def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
                                       params_json=None, combine=None,
-                                      capture=True):
+                                      capture=True, test_data=None):
     """Extend a scratch workdir so the reference's `--mode predict`
     runs (reference main.py:293-374): synthetic GTSDB test split, raw
     PNG frames + test_names.npy (predict rebuilds x from raw frames,
@@ -120,6 +149,11 @@ def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
     instead captures the y_hat scores class_pred returns (via the
     recog_acc call at main.py:313).
 
+    `test_data=(x_te, y_te)` substitutes caller-provided test tensors
+    for the synthetic_dataset eval draw (the predict-parity legs use
+    IoU-friendly large-sign scenes so trained detections above the
+    reference's fixed conf_th=0.5 are deterministic).
+
     Returns the env dict for run_reference.
     """
     import cv2
@@ -133,7 +167,11 @@ def prepare_reference_predict_workdir(work, model="darknet_r", n_test=6,
     p = Params(model=model, n_classes=cfg["n_classes"],
                **{k: cfg[k] for k in
                   ("n_boxes", "n_grid", "darknet_input") if k in cfg})
-    _, _, x_te, y_te = synthetic_dataset(model, p, n_train=2, n_eval=n_test)
+    if test_data is not None:
+        x_te, y_te = test_data
+    else:
+        _, _, x_te, y_te = synthetic_dataset(model, p, n_train=2,
+                                             n_eval=n_test)
 
     if model in ("cnn", "capsule"):
         with open(work + "/data/GTSRB/test.p", "wb") as f:
