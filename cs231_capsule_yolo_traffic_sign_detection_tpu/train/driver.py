@@ -415,6 +415,11 @@ class Trainer:
         if self.model_name == "darknet_d":
             print("{} avg iou: {:05.3f}".format(
                 "train" if tag == "train" else "test", avg_iou))
+        # dark_loss's aux signal, exposed for every detector (the
+        # reference prints it for darknet_d only, main.py:93-94; the
+        # convergence-parity tests compare it cross-framework for
+        # darknet_r too)
+        self.last_avg_iou = avg_iou
         return avg_loss, metric_score
 
     def train_epoch(self, x, y, lr, metric_on=True, progress=None):
